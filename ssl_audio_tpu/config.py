@@ -1,0 +1,245 @@
+"""Configuration system.
+
+Mirrors the reference flag surface (utils/hyperparameters.py:32-110) 1:1 so CLI
+invocations port unchanged, but as a typed dataclass instead of a bare argparse
+namespace.  `setup_model_defaults` reproduces the model-conditional defaults at
+utils/hyperparameters.py:101-110 (ViT -> AdamW, conv -> LARS).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+MODELS = [
+    "resnet50", "resnet50_ReGP_NRF",
+    "resnet18", "resnet18_ReGP_NRF",
+    "audiontt",
+    "vit_base", "vit_small", "vit_tiny",
+    "vitc_base", "vitc_small", "vitc_tiny",
+]
+
+DATASETS = [
+    "fsd50k",
+    "audioset",
+    "librispeech",
+    "fsd50k+librispeech",
+    "audioset+librispeech",
+    "cifar10",
+    "synthetic",  # extension: host-free random data for smoke/bench runs
+]
+
+OPTIMIZERS = ["Adam", "AdamW", "SGD", "LARS"]
+
+
+@dataclass
+class Config:
+    # model / data selection
+    model_type: str = "audiontt"
+    dataset: str = "fsd50k"
+    epochs: int = 100
+    lr_schedule: bool = False
+    epoch_save_f: int = 5
+    epoch_eval_f: int = 5
+    no_eval: bool = False
+    batch_size: int = 128
+
+    # Barlow Twins objective (reference utils/loss.py)
+    lmbda: float = 0.005
+    alpha: float = 1.0
+    HSIC: bool = False
+
+    # projector / predictor heads (reference model.py:11-53)
+    projector_out_dim: int = 256
+    projector_n_hidden_layers: int = 1
+    projector_hidden_dim: int = 8192
+    predictor: bool = False
+    stop_gradient: bool = False
+
+    # multi-crop (reference utils/transforms.py)
+    local_crops_number: int = 0
+    local_crops_size: List[int] = field(default_factory=lambda: [16, 16])
+
+    # audio frontend (reference datasets.py:39-48)
+    unit_sec: float = 0.95
+    crop_frames: int = 96
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 160
+    n_mels: int = 64
+    f_min: int = 60
+    f_max: int = 7800
+
+    num_workers: int = 20
+
+    # augmentations (reference augmentations.py)
+    mixup_ratio: float = 0.2
+    virtual_crop_scale: List[float] = field(default_factory=lambda: [1.0, 1.5])
+    mixup: bool = True
+    RRC: bool = True
+    RLF: bool = True
+    Gnoise: bool = False
+    pre_norm: bool = False
+    post_norm: bool = False
+
+    load_lms: bool = True
+    distributed: bool = False
+    use_fp16: bool = False          # on TPU this selects bfloat16 compute
+    use_fp16_eval: bool = False
+    name: str = ""
+    squeeze_excitation: bool = False
+
+    # ViT masking (reference models/mae.py:309-347, main.py:72-81)
+    mask: bool = False
+    mask_ratio: float = 0.0
+    random_mask_ratio: bool = False
+    mask_ratio_schedule: bool = False
+    mask_beta: float = 0.3
+    use_learned_pos_embd: bool = False
+    use_cls: bool = True
+    use_mean_pool: bool = False
+    patch_size: List[int] = field(default_factory=lambda: [16, 16])
+    masked_recon: bool = False
+
+    save_base_dir: str = ""
+    resume_path: Optional[str] = None
+
+    # optimizer (filled by setup_model_defaults, hyperparameters.py:101-110)
+    optimizer: Optional[str] = None
+    lr: Optional[float] = None
+    lr_weights: Optional[float] = None
+    lr_biases: Optional[float] = None
+    wd: Optional[float] = None
+
+    # BYOL-variant (reference main_bt_byol.py:352)
+    moving_average_decay: float = 0.99
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    # number of devices along the data mesh axis; 0 = all local devices
+    data_axis_size: int = 0
+    # mixup memory-bank size (reference augmentations.py:96 n_memory=2048);
+    # on-device ring buffer rows
+    mixup_n_memory: int = 2048
+    # seed for all RNG
+    seed: int = 0
+    # steps per epoch when the dataset is synthetic
+    synthetic_steps_per_epoch: int = 100
+    # synthetic dataset size used to scale schedules
+    synthetic_len: int = 12800
+
+    def __post_init__(self):
+        if isinstance(self.local_crops_size, tuple):
+            self.local_crops_size = list(self.local_crops_size)
+        if isinstance(self.patch_size, tuple):
+            self.patch_size = list(self.patch_size)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def setup_model_defaults(cfg: Config) -> Config:
+    """Reference utils/hyperparameters.py:101-110."""
+    if "vit" in cfg.model_type:
+        opt = cfg.optimizer or "AdamW"
+        lr = cfg.lr if cfg.lr is not None else 1e-4 * cfg.batch_size / 128
+        wd = cfg.wd if cfg.wd is not None else 0.06
+        return cfg.replace(optimizer=opt, lr=lr, wd=wd)
+    opt = cfg.optimizer or "LARS"
+    lr_w = cfg.lr_weights if cfg.lr_weights is not None else 0.4 * cfg.batch_size / 128
+    lr_b = cfg.lr_biases if cfg.lr_biases is not None else 0.0048 * cfg.batch_size / 128
+    wd = cfg.wd if cfg.wd is not None else 1e-5
+    return cfg.replace(optimizer=opt, lr_weights=lr_w, lr_biases=lr_b, wd=wd)
+
+
+def default_config(**kw) -> Config:
+    return setup_model_defaults(Config(**kw))
+
+
+def _add_bool_pair(parser, name, default, negative=None):
+    dest = name.lstrip("-").replace("-", "_")
+    parser.add_argument(f"--{dest}", action="store_true", default=default)
+    if negative:
+        parser.add_argument(f"--{negative}", action="store_false", dest=dest)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """Flag-for-flag equivalent of reference utils/hyperparameters.py:32-98."""
+    p = argparse.ArgumentParser(description="ssl_audio_tpu", add_help=True)
+    p.add_argument("--model_type", default="audiontt", type=str, choices=MODELS)
+    p.add_argument("--dataset", default="fsd50k", type=str, choices=DATASETS)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--lr_schedule", action="store_true", default=False)
+    p.add_argument("--epoch_save_f", default=5, type=int)
+    p.add_argument("--epoch_eval_f", default=5, type=int)
+    p.add_argument("--no_eval", action="store_true", default=False)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lmbda", type=float, default=0.005)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--projector_out_dim", default=256, type=int)
+    p.add_argument("--projector_n_hidden_layers", default=1, type=int)
+    p.add_argument("--projector_hidden_dim", default=8192, type=int)
+    p.add_argument("--local_crops_number", type=int, default=0)
+    p.add_argument("--local_crops_size", nargs="+", type=int, default=[16, 16])
+    p.add_argument("--unit_sec", type=float, default=0.95)
+    p.add_argument("--crop_frames", type=int, default=96)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--n_fft", type=int, default=1024)
+    p.add_argument("--win_length", type=int, default=1024)
+    p.add_argument("--hop_length", type=int, default=160)
+    p.add_argument("--n_mels", type=int, default=64)
+    p.add_argument("--f_min", type=int, default=60)
+    p.add_argument("--f_max", type=int, default=7800)
+    p.add_argument("--num_workers", type=int, default=20)
+    p.add_argument("--mixup_ratio", type=float, default=0.2)
+    p.add_argument("--virtual_crop_scale", nargs="+", type=float, default=[1, 1.5])
+    p.add_argument("--HSIC", action="store_true", default=False)
+    _add_bool_pair(p, "mixup", True, "no_mixup")
+    _add_bool_pair(p, "RRC", True, "no_RRC")
+    _add_bool_pair(p, "RLF", True, "no_RLF")
+    p.add_argument("--Gnoise", action="store_true", default=False)
+    p.add_argument("--pre_norm", action="store_true", default=False)
+    p.add_argument("--post_norm", action="store_true", default=False)
+    p.add_argument("--load_lms", action="store_true", default=True)
+    p.add_argument("--load_wav", action="store_false", dest="load_lms")
+    p.add_argument("--distributed", action="store_true", default=False)
+    p.add_argument("--use_fp16", action="store_true", default=False)
+    p.add_argument("--use_fp16_eval", action="store_true", default=False)
+    p.add_argument("--name", type=str, default="")
+    p.add_argument("--squeeze_excitation", action="store_true", default=False)
+    p.add_argument("--mask", action="store_true", default=False)
+    p.add_argument("--mask_ratio", type=float, default=0.0)
+    p.add_argument("--random_mask_ratio", action="store_true", default=False)
+    p.add_argument("--mask_ratio_schedule", action="store_true", default=False)
+    p.add_argument("--mask_beta", type=float, default=0.3)
+    p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
+    p.add_argument("--use_cls", action="store_true", default=True)
+    p.add_argument("--use_mean_pool", action="store_true", default=False)
+    p.add_argument("--patch_size", nargs="+", type=int, default=[16, 16])
+    p.add_argument("--masked_recon", action="store_true", default=False)
+    p.add_argument("--stop_gradient", action="store_true", default=False)
+    p.add_argument("--predictor", action="store_true", default=False)
+    p.add_argument("--save_base_dir", type=str, default="")
+    p.add_argument("--resume_path", type=str, default=None)
+    p.add_argument("--optimizer", type=str, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr_weights", type=float, default=None)
+    p.add_argument("--lr_biases", type=float, default=None)
+    p.add_argument("--wd", type=float, default=None)
+    # BYOL-variant flag (reference main_bt_byol.py:352)
+    p.add_argument("--moving_average_decay", type=float, default=0.99)
+    # TPU-native extensions
+    p.add_argument("--data_axis_size", type=int, default=0)
+    p.add_argument("--mixup_n_memory", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic_steps_per_epoch", type=int, default=100)
+    p.add_argument("--synthetic_len", type=int, default=12800)
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_argparser().parse_args(argv)
+    known = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(args).items() if k in known}
+    return setup_model_defaults(Config(**kw))

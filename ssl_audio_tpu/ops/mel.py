@@ -1,0 +1,199 @@
+"""GEMM-native log-mel spectrogram frontend.
+
+Reproduces the torchaudio pipeline the reference builds in datasets.py:39-48 /
+hear/sample/vit.py:27-38 (MelSpectrogram(sr=16000, n_fft=1024, win_length=1024
+[HEAR: 400], hop=160, n_mels=64, f_min=60, f_max=7800, power=2) followed by
+log(x + eps)) — but designed for the TPU MXU instead of a C++ STFT:
+
+    wav --reflect-pad--> frames (B, T, n_fft)
+        --GEMM--> real = frames @ C, imag = frames @ S     (window folded in)
+        --VPU --> power = real^2 + imag^2
+        --GEMM--> mel   = power @ FB                        (513 x n_mels)
+        --VPU --> log(mel + eps)
+
+Everything is a large batched matmul + fused elementwise, which XLA maps onto
+the MXU; there is no FFT butterfly and no dynamic shape anywhere.  For
+n_fft=1024 the DFT-as-GEMM costs 2*1024*513 MACs/frame vs ~ 1024*10 for an FFT,
+but at 64-mel/96-frame scale the op is tiny and entirely compute-bound on the
+MXU, which is exactly where a TPU wants it (see PAPERS.md "MelT: GEMM-Native
+NDFT").
+
+Numerical contract (tested in tests/test_mel.py): matches
+torch.stft(center=True, pad_mode='reflect', onesided=True,
+window=hann(periodic)) |.|^2 followed by torchaudio's HTK mel filterbank
+(norm=None) to <= 1e-4.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torch.finfo(torch.float32).eps — the log epsilon the reference adds
+# (datasets.py:115: (mel + torch.finfo().eps).log())
+TORCH_FLOAT32_EPS = float(np.finfo(np.float32).eps)
+
+
+def hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_freqs: int,
+    f_min: float,
+    f_max: float,
+    n_mels: int,
+    sample_rate: int,
+    norm: str | None = None,
+) -> np.ndarray:
+    """Triangular mel filterbank, (n_freqs, n_mels), float32.
+
+    Same construction as torchaudio.functional.melscale_fbanks with
+    mel_scale='htk' (the torchaudio default the reference relies on):
+    mel points linspace'd in HTK-mel space, triangles formed from the
+    difference of slopes, no area normalization when norm is None.
+    """
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs, dtype=np.float64)
+    m_min, m_max = hz_to_mel_htk(f_min), hz_to_mel_htk(f_max)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = mel_to_hz_htk(m_pts)                                   # (n_mels+2,)
+    f_diff = f_pts[1:] - f_pts[:-1]                                # (n_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]                   # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb = fb * enorm[None, :]
+    return fb.astype(np.float32)
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window (torch.hann_window(periodic=True))."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class MelSpec:
+    """Static spec + precomputed constant matrices for the frontend."""
+
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 160
+    n_mels: int = 64
+    f_min: float = 60.0
+    f_max: float = 7800.0
+    power: float = 2.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @functools.cached_property
+    def window(self) -> np.ndarray:
+        """Window padded to n_fft the way torch.stft does (centered)."""
+        w = hann_window(self.win_length)
+        if self.win_length < self.n_fft:
+            left = (self.n_fft - self.win_length) // 2
+            w = np.pad(w, (left, self.n_fft - self.win_length - left))
+        return w
+
+    @functools.cached_property
+    def dft_matrices(self) -> tuple[np.ndarray, np.ndarray]:
+        """(C, S): (n_fft, n_freqs) windowed real-DFT bases.
+
+        real[k] = sum_n w[n] x[n] cos(2 pi n k / N)
+        imag[k] = -sum_n w[n] x[n] sin(2 pi n k / N)
+        The sign of imag is irrelevant for |.|^2 so S carries +sin.
+        """
+        n = np.arange(self.n_fft, dtype=np.float64)[:, None]
+        k = np.arange(self.n_freqs, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * n * k / self.n_fft
+        w = self.window.astype(np.float64)[:, None]
+        C = (w * np.cos(ang)).astype(np.float32)
+        S = (w * np.sin(ang)).astype(np.float32)
+        return C, S
+
+    @functools.cached_property
+    def filterbank(self) -> np.ndarray:
+        return mel_filterbank(
+            self.n_freqs, self.f_min, self.f_max, self.n_mels, self.sample_rate
+        )
+
+    @functools.cached_property
+    def power_to_mel(self) -> np.ndarray:
+        """Alias of filterbank, (n_freqs, n_mels)."""
+        return self.filterbank
+
+    def num_frames(self, num_samples: int) -> int:
+        # torch.stft(center=True): 1 + L // hop
+        return 1 + num_samples // self.hop_length
+
+    @classmethod
+    def from_config(cls, cfg) -> "MelSpec":
+        return cls(
+            sample_rate=cfg.sample_rate,
+            n_fft=cfg.n_fft,
+            win_length=cfg.win_length,
+            hop_length=cfg.hop_length,
+            n_mels=cfg.n_mels,
+            f_min=float(cfg.f_min),
+            f_max=float(cfg.f_max),
+        )
+
+
+def frame_signal(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+    """(..., L) -> (..., T, n_fft) frames with torch.stft center/reflect pad."""
+    pad = spec.n_fft // 2
+    pad_widths = [(0, 0)] * (wav.ndim - 1) + [(pad, pad)]
+    x = jnp.pad(wav, pad_widths, mode="reflect")
+    T = spec.num_frames(wav.shape[-1])
+    # gather frame windows via a strided index grid (static shapes)
+    starts = np.arange(T) * spec.hop_length
+    idx = starts[:, None] + np.arange(spec.n_fft)[None, :]        # (T, n_fft)
+    return x[..., idx]
+
+
+# The DFT-as-GEMM must accumulate in fp32 on the MXU: at the TPU default
+# (single-pass bf16) the cancellation in high-frequency bins costs ~1e-1
+# relative error; at HIGHEST (multi-pass fp32) it is ~4e-6 (measured on v5e).
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def power_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+    """(..., L) -> (..., n_freqs, T) power spectrogram via windowed-DFT GEMMs."""
+    frames = frame_signal(wav, spec)                               # (..., T, n_fft)
+    C, S = spec.dft_matrices
+    re = jnp.matmul(frames, jnp.asarray(C), precision=_PREC)       # (..., T, n_freqs)
+    im = jnp.matmul(frames, jnp.asarray(S), precision=_PREC)
+    power = re * re + im * im
+    return jnp.swapaxes(power, -1, -2)                             # (..., n_freqs, T)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def mel_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+    """(..., L) -> (..., n_mels, T) mel power spectrogram."""
+    frames = frame_signal(wav, spec)                               # (..., T, n_fft)
+    C, S = spec.dft_matrices
+    re = jnp.matmul(frames, jnp.asarray(C), precision=_PREC)
+    im = jnp.matmul(frames, jnp.asarray(S), precision=_PREC)
+    power = re * re + im * im                                      # (..., T, n_freqs)
+    mel = jnp.matmul(power, jnp.asarray(spec.filterbank), precision=_PREC)
+    return jnp.swapaxes(mel, -1, -2)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def log_mel_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+    """(..., L) -> (..., n_mels, T) log-mel, the reference's
+    (melspec(wav) + torch.finfo().eps).log()."""
+    return jnp.log(mel_spectrogram(wav, spec) + TORCH_FLOAT32_EPS)

@@ -1,0 +1,112 @@
+"""Parity tests for the GEMM-native mel frontend against the exact torchaudio
+semantics the reference uses (datasets.py:39-48).
+
+torchaudio is not installed here, so the oracle is built from its documented
+algorithm: torch.stft (the same C++ kernel torchaudio.transforms.Spectrogram
+calls, with center=True / reflect pad / periodic hann / onesided) followed by
+an independently-written HTK mel filterbank (torchaudio.functional
+.melscale_fbanks semantics, norm=None).
+"""
+import numpy as np
+import pytest
+import torch
+
+from ssl_audio_tpu.ops.mel import (
+    TORCH_FLOAT32_EPS,
+    MelSpec,
+    hann_window,
+    log_mel_spectrogram,
+    mel_filterbank,
+    mel_spectrogram,
+    power_spectrogram,
+)
+
+
+def torch_power_spec(wav: np.ndarray, spec: MelSpec) -> np.ndarray:
+    x = torch.from_numpy(wav).float()
+    win = torch.hann_window(spec.win_length, periodic=True)
+    st = torch.stft(
+        x,
+        n_fft=spec.n_fft,
+        hop_length=spec.hop_length,
+        win_length=spec.win_length,
+        window=win,
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    return (st.abs() ** 2).numpy()  # (..., n_freqs, T)
+
+
+def librosa_style_fb(spec: MelSpec) -> np.ndarray:
+    """Second, independently-coded HTK filterbank for cross-checking."""
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10 ** (m / 2595.0) - 1.0)
+
+    freqs = np.linspace(0, spec.sample_rate / 2, spec.n_freqs)
+    mels = np.linspace(to_mel(spec.f_min), to_mel(spec.f_max), spec.n_mels + 2)
+    fpts = from_mel(mels)
+    fb = np.zeros((spec.n_freqs, spec.n_mels))
+    for m in range(spec.n_mels):
+        lo, ce, hi = fpts[m], fpts[m + 1], fpts[m + 2]
+        up = (freqs - lo) / (ce - lo)
+        down = (hi - freqs) / (hi - ce)
+        fb[:, m] = np.clip(np.minimum(up, down), 0, None)
+    return fb
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return MelSpec()
+
+
+def test_hann_window_matches_torch(spec):
+    ours = hann_window(1024)
+    theirs = torch.hann_window(1024, periodic=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-7)
+
+
+def test_filterbank_matches_independent_impl(spec):
+    fb = mel_filterbank(spec.n_freqs, spec.f_min, spec.f_max, spec.n_mels, spec.sample_rate)
+    fb2 = librosa_style_fb(spec)
+    np.testing.assert_allclose(fb, fb2, atol=1e-6)
+    # every mel bin must collect some energy for these params
+    assert (fb.sum(axis=0) > 0).all()
+
+
+def test_power_spectrogram_parity(spec, rng):
+    wav = rng.standard_normal((2, 15200)).astype(np.float32)
+    ours = np.asarray(power_spectrogram(wav, spec))
+    ref = torch_power_spec(wav, spec)
+    assert ours.shape == ref.shape == (2, 513, 96)
+    np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+
+def test_log_mel_parity(spec, rng):
+    wav = (0.5 * rng.standard_normal((3, 15200))).astype(np.float32)
+    power = torch_power_spec(wav, spec)                       # (3, 513, T)
+    fb = librosa_style_fb(spec)
+    ref_mel = np.einsum("bft,fm->bmt", power, fb)
+    ref = np.log(ref_mel + TORCH_FLOAT32_EPS)
+    ours = np.asarray(log_mel_spectrogram(wav, spec))
+    assert ours.shape == (3, 64, 96)
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_hear_win400_frames(spec, rng):
+    """HEAR inference uses win_length=400 < n_fft (hear/config.yaml)."""
+    s = MelSpec(win_length=400)
+    wav = rng.standard_normal((1, 15200)).astype(np.float32)
+    ref = torch_power_spec(wav, s)
+    ours = np.asarray(power_spectrogram(wav, s))
+    np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+
+def test_num_frames(spec):
+    assert spec.num_frames(15200) == 96  # 0.95 s @ 16 kHz -> 96 frames
+    assert spec.num_frames(160000) == 1001  # 10 s
