@@ -1,0 +1,99 @@
+"""AudioPairTransform equivalent: build 2 global + N local views of a batch of
+log-mel clips entirely on device (reference utils/transforms.py:7-58).
+
+Reference pipeline per view:
+  global: [MixupBYOLA] -> [MixGaussianNoise] -> [RandomResizeCrop] ->
+          [RandomLinearFader]          (toggled by cfg.mixup/Gnoise/RRC/RLF)
+  local : RandomResizeCrop(local_crops_size, virtual_crop_scale=(1,1),
+          scales (0.05, 0.6))
+
+Differences vs the reference, by design:
+  * The mixup memory bank is one global on-device ring buffer instead of one
+    python list per DataLoader worker; each make_pair_views call pushes the
+    incoming batch once (the reference pushes each sample once per view).
+    Distributionally equivalent; documented for parity review.
+  * All randomness derives from a single JAX key -> fully reproducible runs.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssl_audio_tpu.augment import augmentations as A
+
+
+class AugmentState(NamedTuple):
+    mixup: Optional[A.MixupState]
+
+
+def init_augment_state(cfg, sample_shape: Tuple[int, ...] = None) -> AugmentState:
+    """sample_shape defaults to (1, n_mels, crop_frames)."""
+    if sample_shape is None:
+        sample_shape = (1, cfg.n_mels, cfg.crop_frames)
+    mix = (
+        A.init_mixup_state(cfg.mixup_n_memory, sample_shape) if cfg.mixup else None
+    )
+    return AugmentState(mixup=mix)
+
+
+def _global_view(
+    key: jax.Array,
+    x: jnp.ndarray,
+    state: AugmentState,
+    cfg,
+    update_bank: bool,
+) -> Tuple[jnp.ndarray, AugmentState]:
+    k_mix, k_noise, k_rrc, k_rlf = jax.random.split(key, 4)
+    out = x
+    if cfg.mixup:
+        out, mix_state = A.mixup_byola(
+            k_mix, out, state.mixup, ratio=cfg.mixup_ratio, update_bank=update_bank
+        )
+        state = AugmentState(mixup=mix_state)
+    if cfg.Gnoise:
+        out = A.mix_gaussian_noise(k_noise, out, ratio=0.2)
+    if cfg.RRC:
+        out = A.random_resize_crop(
+            k_rrc,
+            out,
+            out_size=(cfg.n_mels, cfg.crop_frames),
+            virtual_crop_scale=tuple(cfg.virtual_crop_scale),
+            freq_scale=(0.6, 1.5),
+            time_scale=(0.6, 1.5),
+        )
+    if cfg.RLF:
+        out = A.random_linear_fader(k_rlf, out)
+    return out, state
+
+
+def _local_view(key: jax.Array, x: jnp.ndarray, cfg) -> jnp.ndarray:
+    return A.random_resize_crop(
+        key,
+        x,
+        out_size=tuple(cfg.local_crops_size),
+        virtual_crop_scale=(1.0, 1.0),
+        freq_scale=(0.05, 0.6),
+        time_scale=(0.05, 0.6),
+    )
+
+
+def make_pair_views(
+    key: jax.Array,
+    lms: jnp.ndarray,            # (B, 1, n_mels, crop_frames)
+    state: AugmentState,
+    cfg,
+) -> Tuple[List[jnp.ndarray], AugmentState]:
+    """Returns ([g1, g2, l1..lN], new_state); mirrors AudioPairTransform
+    .forward (utils/transforms.py:49-58) over a whole batch."""
+    n_keys = 2 + cfg.local_crops_number
+    keys = jax.random.split(key, n_keys)
+    g1, state = _global_view(keys[0], lms, state, cfg, update_bank=True)
+    g2, state = _global_view(keys[1], lms, state, cfg, update_bank=False)
+    views = [g1, g2]
+    for i in range(cfg.local_crops_number):
+        views.append(_local_view(keys[2 + i], lms, cfg))
+    if cfg.post_norm:
+        views = [A.normalize_batch(v) for v in views]
+    return views, state
