@@ -1,0 +1,50 @@
+"""Encoder selection: --model_type string -> Flax module + feature dim
+(reference model.py:57-103 ModelWrapper)."""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+
+from ssl_audio_tpu.models import audiontt, resnet, vit
+
+
+def build_encoder(cfg) -> Tuple[nn.Module, int]:
+    """Returns (encoder_module, feature_dim)."""
+    mt = cfg.model_type
+    if mt == "resnet50":
+        enc = resnet.resnet50()
+    elif mt == "resnet50_ReGP_NRF":
+        enc = resnet.resnet50_ReGP_NRF()
+    elif mt == "resnet18":
+        enc = resnet.resnet18()
+    elif mt == "resnet18_ReGP_NRF":
+        enc = resnet.resnet18_ReGP_NRF()
+    elif mt == "audiontt":
+        assert cfg.n_mels == 64, (
+            f"n_mels must be 64 to use AudioNTT encoder (n_mels set to {cfg.n_mels})"
+        )
+        enc = audiontt.AudioNTT2022(squeeze_excitation=cfg.squeeze_excitation)
+    elif "vit" in mt:
+        conv_stem = mt.split("_")[0] == "vitc"
+        size = mt.split("_")[-1]
+        if cfg.dataset == "cifar10":
+            enc = vit.get_mae_vit(
+                size, cfg.patch_size, conv_stem,
+                use_learned_pos_embd=cfg.use_learned_pos_embd,
+                img_size=(32, 32), in_chans=3,
+            )
+        else:
+            enc = vit.get_mae_vit(
+                size, cfg.patch_size, conv_stem,
+                use_learned_pos_embd=cfg.use_learned_pos_embd,
+                img_size=(cfg.n_mels, cfg.crop_frames),
+                use_decoder=cfg.masked_recon,
+            )
+    else:
+        raise NotImplementedError(f"Model type {mt} is not supported")
+    return enc, enc.embed_dim
+
+
+def is_vit(cfg) -> bool:
+    return "vit" in cfg.model_type
