@@ -1,0 +1,292 @@
+"""Host-side datasets (reference datasets.py).
+
+Same on-disk formats as the reference — FSD50K ground-truth CSVs, LibriSpeech
+json index, NSynth HEAR json, AudioSet download CSV — and the same per-sample
+recipe: load pre-computed `.npy` log-mel (or decode wav -> mel via the
+GEMM frontend), random time-crop/pad to crop_frames, dataset-stat normalize
+(datasets.py:70-124).  Augmentation does NOT happen here: it runs on device
+inside the train step, which is the central TPU-first design change
+(SURVEY.md §3.1 hot-loop).
+
+Each dataset returns float32 numpy (1, n_mels, crop_frames) + label.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+# dataset-stat normalization constants (reference main.py:270,283,293)
+NORM_STATS = {
+    "fsd50k": (-4.950, 5.855),
+    "librispeech": (-3.332, 4.205),
+    "audioset": (-0.8294, 4.6230),
+    "nsynth": (-8.82, 7.03),
+}
+
+
+def make_index_dict(label_csv: str) -> dict:
+    """mids -> index lookup (reference datasets.py:17-23)."""
+    index_lookup = {}
+    with open(label_csv, "r") as f:
+        for row in csv.DictReader(f):
+            index_lookup[row["mids"]] = row["index"]
+    return index_lookup
+
+
+def load_wav(path: str, sample_rate: int) -> np.ndarray:
+    """Mono float32 waveform at the requested rate (integer-factor resample
+    only; the reference assumes pre-resampled 16 kHz audio)."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if sr != sample_rate:
+        if sr % sample_rate == 0:
+            data = data[:: sr // sample_rate]
+        else:
+            from scipy.signal import resample_poly
+
+            g = np.gcd(sr, sample_rate)
+            data = resample_poly(data, sample_rate // g, sr // g).astype(np.float32)
+    return data
+
+
+def crop_or_pad(lms: np.ndarray, crop_frames: int, rng: np.random.Generator) -> np.ndarray:
+    """Random time-crop / zero-pad to crop_frames (datasets.py:86-95)."""
+    length = lms.shape[-1]
+    if length > crop_frames:
+        start = int(rng.integers(0, length - crop_frames))
+        lms = lms[..., start : start + crop_frames]
+    elif length < crop_frames:
+        pad = [(0, 0)] * (lms.ndim - 1) + [(0, crop_frames - length)]
+        lms = np.pad(lms, pad)
+    return lms.astype(np.float32)
+
+
+class _LMSDatasetBase:
+    """Shared __getitem__ machinery for lms-or-wav datasets."""
+
+    def __init__(self, cfg, transform=None, norm_stats=None, crop_frames=None, seed=0):
+        self.cfg = cfg
+        self.transform = transform         # host-side transform hook (rare)
+        self.norm_stats = norm_stats
+        self.crop_frames = cfg.crop_frames if crop_frames is None else crop_frames
+        self.rng = np.random.default_rng(seed)
+        self._mel = None
+
+    def _to_lms_from_wav(self, path: str) -> np.ndarray:
+        from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
+
+        if self._mel is None:
+            self._mel = MelSpec.from_config(self.cfg)
+        wav = load_wav(path, self.cfg.sample_rate)
+        unit_length = int(self.cfg.unit_sec * self.cfg.sample_rate)
+        # zero pad both ends, then random unit-length crop (datasets.py:105-113)
+        adj = unit_length - len(wav)
+        if adj > 0:
+            half = adj // 2
+            wav = np.pad(wav, (half, adj - half))
+        adj = len(wav) - unit_length
+        start = int(self.rng.integers(0, adj + 1)) if adj > 0 else 0
+        wav = wav[start : start + unit_length]
+        return np.asarray(log_mel_spectrogram(wav[None], self._mel))[0]
+
+    def _finalize(self, lms: np.ndarray) -> np.ndarray:
+        lms = crop_or_pad(lms, self.crop_frames, self.rng)
+        if self.norm_stats is not None:
+            lms = (lms - self.norm_stats[0]) / self.norm_stats[1]
+        if self.transform is not None:
+            lms = self.transform(lms)
+        return lms.astype(np.float32)
+
+    def _load_item(self, npy_path: str, wav_path: str) -> np.ndarray:
+        if self.cfg.load_lms:
+            lms = np.load(npy_path)[None]                  # (1, n_mels, T)
+        else:
+            lms = self._to_lms_from_wav(wav_path)[None]
+        return self._finalize(lms)
+
+
+class FSD50K(_LMSDatasetBase):
+    """reference datasets.py:26-124."""
+
+    def __init__(self, cfg, split="train", transform=None, norm_stats=None,
+                 crop_frames=None, data_dir="data", seed=0):
+        super().__init__(cfg, transform, norm_stats, crop_frames, seed)
+        self.split = split
+        self.data_dir = data_dir
+        gt = os.path.join(data_dir, "FSD50K/FSD50K.ground_truth")
+        csv_path = os.path.join(gt, "eval.csv" if split == "test" else "dev.csv")
+        rows = []
+        with open(csv_path) as f:
+            for row in csv.reader(f):
+                rows.append(row)
+        if split == "train":
+            rows = [r for r in rows if len(r) > 3 and r[3] == "train"]
+        elif split == "val":
+            rows = [r for r in rows if len(r) > 3 and r[3] == "val"]
+        self.files = [r[0] for r in rows]
+        self.labels = [r[2] if len(r) > 2 else "" for r in rows]
+        self.index_dict = make_index_dict(os.path.join(gt, "vocabulary.csv"))
+        self.label_num = len(self.index_dict)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx) -> Tuple[np.ndarray, np.ndarray]:
+        fname, labels = self.files[idx], self.labels[idx]
+        y = np.zeros(self.label_num, np.float32)
+        for s in labels.split(","):
+            if s:
+                y[int(self.index_dict[s])] = 1.0
+        sub = "FSD50K.eval_audio" if self.split == "test" else "FSD50K.dev_audio"
+        lms = self._load_item(
+            os.path.join(self.data_dir, f"FSD50K_lms/{sub}/{fname}.npy"),
+            os.path.join(self.data_dir, f"FSD50K/{sub}/{fname}.wav"),
+        )
+        return lms, y
+
+
+class LibriSpeech(_LMSDatasetBase):
+    """reference datasets.py:127-209; labels are dummies."""
+
+    def __init__(self, cfg, train=True, transform=None, norm_stats=None,
+                 n_dummy=200, data_dir="data", seed=0):
+        super().__init__(cfg, transform, norm_stats, None, seed)
+        self.n_dummy = n_dummy
+        base = "LibriSpeech_lms" if cfg.load_lms else "LibriSpeech"
+        self.base_path = os.path.join(data_dir, base)
+        with open(os.path.join(self.base_path, "librispeech_tr960_cut.json")) as fp:
+            self.data = json.load(fp)["data"]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        fname = self.data[idx]["wav"]
+        lms = self._load_item(
+            os.path.join(self.base_path, fname[: -len(".flac")] + ".npy"),
+            os.path.join(self.base_path, fname),
+        )
+        return lms, np.zeros(self.n_dummy, np.float32)
+
+
+class NSynthHEAR(_LMSDatasetBase):
+    """reference datasets.py:212-290 (pitch -> class index)."""
+
+    def __init__(self, cfg, split="train", transform=None, norm_stats=None,
+                 data_dir="data", hear_dir="hear", seed=0):
+        super().__init__(cfg, transform, norm_stats, None, seed)
+        self.split = split
+        self.data_dir = data_dir
+        base = os.path.join(hear_dir, "tasks/nsynth_pitch-v2.2.3-50h")
+        self.wav_dir = os.path.join(base, f"16000/{split}")
+        with open(os.path.join(base, f"{split}.json")) as fp:
+            data = json.load(fp)
+        self.data = [(name, label[0]) for name, label in data.items()]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        fname, label = self.data[idx]
+        lms = self._load_item(
+            os.path.join(
+                self.data_dir,
+                f"nsynth_lms/nsynth-{self.split}/audio/{fname[:-len('.wav')]}.npy",
+            ),
+            os.path.join(self.wav_dir, fname),
+        )
+        return lms, np.int32(int(label) - 21)
+
+
+class AudioSet(_LMSDatasetBase):
+    """reference datasets.py:293-359 — `.npy` lms only, '#'-separated labels,
+    corrupt-file fallback to a random FSD50K sample (335-340)."""
+
+    def __init__(self, cfg, transform=None, norm_stats=None, data_dir="data", seed=0):
+        super().__init__(cfg, transform, norm_stats, None, seed)
+        self.base_dir = os.path.join(data_dir, "audioset_lms")
+        self.data_dir = data_dir
+        rows = []
+        with open(os.path.join(self.base_dir, "unbalanced_train_segments-downloaded.csv")) as f:
+            for row in csv.reader(f):
+                rows.append(row)
+        self.audio_fnames = [r[0] for r in rows]
+        self.labels = [r[1] for r in rows]
+        self.index_dict = make_index_dict(os.path.join(self.base_dir, "class_labels_indices.csv"))
+        self.label_num = len(self.index_dict)
+        try:
+            with open(os.path.join(data_dir, "FSD50K/FSD50K.ground_truth/dev.csv")) as f:
+                self.files_fsd50k = [row[0] for row in csv.reader(f)]
+        except FileNotFoundError:
+            self.files_fsd50k = []
+
+    def __len__(self):
+        return len(self.audio_fnames)
+
+    def __getitem__(self, idx):
+        fname, labels = self.audio_fnames[idx], self.labels[idx]
+        y = np.zeros(self.label_num, np.float32)
+        for s in labels.split("#"):
+            if s:
+                y[int(self.index_dict[s])] = 1.0
+        path = os.path.join(self.base_dir, "unbalanced_train_segments", f"{fname}.npy")
+        try:
+            lms = np.load(path)[None]
+        except (ValueError, FileNotFoundError):
+            if not self.files_fsd50k:
+                raise
+            alt = self.rng.choice(self.files_fsd50k)
+            lms = np.load(
+                os.path.join(self.data_dir, f"FSD50K_lms/FSD50K.dev_audio/{alt}.npy")
+            )[None]
+        return self._finalize(lms), y
+
+
+class SyntheticLMS:
+    """Random log-mel clips for smoke tests and benches (no reference
+    equivalent; enabled by --dataset synthetic)."""
+
+    def __init__(self, cfg, length: Optional[int] = None, n_classes=10, seed=0):
+        self.cfg = cfg
+        self.length = length if length is not None else cfg.synthetic_len
+        self.n_classes = n_classes
+        self.seed = seed
+        self.label_num = n_classes
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        cls = idx % self.n_classes
+        # class-dependent spectral envelope so probes have signal
+        mel_axis = np.linspace(0, 1, self.cfg.n_mels)[:, None]
+        env = np.exp(-0.5 * ((mel_axis - (cls + 0.5) / self.n_classes) / 0.08) ** 2)
+        lms = rng.standard_normal((1, self.cfg.n_mels, self.cfg.crop_frames)).astype(np.float32)
+        lms = lms * 0.5 + 2.0 * env[None].astype(np.float32)
+        y = np.zeros(self.n_classes, np.float32)
+        y[cls] = 1.0
+        return lms, y
+
+
+def calculate_norm_stats(dataset, n_norm_calc=10000, seed=0):
+    """reference datasets.py:362-376."""
+    rng = np.random.default_rng(seed)
+    idxs = rng.integers(0, len(dataset), size=min(n_norm_calc, len(dataset)))
+    vecs = np.stack([dataset[int(i)][0] for i in idxs])
+    mean = float(vecs.mean())
+    std = float(vecs.std() + np.finfo(np.float32).eps)
+    return mean, std

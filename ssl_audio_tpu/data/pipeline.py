@@ -1,0 +1,92 @@
+"""Threaded prefetching data loader.
+
+Replaces torch DataLoader + DistributedSampler (reference main.py:303-309):
+per-epoch shuffled indices, optional process-sharding for multi-host, a
+thread pool for `.npy` loads, and double-buffered prefetch so host IO overlaps
+device compute.  Heavy per-sample augmentation is gone from the host path (it
+runs on device), so workers only read + crop + normalize.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # shard by process (DistributedSampler equivalent): contiguous stride
+        idx = idx[self.process_index :: self.process_count]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _collate(self, items) -> Tuple[np.ndarray, np.ndarray]:
+        xs = np.stack([it[0] for it in items])
+        ys = np.stack([np.asarray(it[1]) for it in items])
+        return xs, ys
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self._indices()
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    q.put(self._collate(items))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

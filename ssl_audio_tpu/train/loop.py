@@ -1,0 +1,218 @@
+"""Training driver: dataset selection, epoch loop, checkpoint/resume, logging
+(reference main.py:37-171 and 350-520, rebuilt around one jitted step)."""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ssl_audio_tpu.data import datasets as D
+from ssl_audio_tpu.data.pipeline import DataLoader
+from ssl_audio_tpu.parallel import get_mesh, shard_batch
+from ssl_audio_tpu.train.state import init_train_state
+from ssl_audio_tpu.train.steps import make_byol_train_step, make_train_step
+from ssl_audio_tpu.utils import checkpoint as ckpt_lib
+from ssl_audio_tpu.utils import schedules
+from ssl_audio_tpu.utils.logging_utils import make_csv_logger
+
+
+class _ConcatDataset:
+    def __init__(self, parts):
+        self.parts = parts
+        self.offsets = np.cumsum([0] + [len(p) for p in parts])
+        self.label_num = max(getattr(p, "label_num", 0) for p in parts)
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, idx):
+        part = int(np.searchsorted(self.offsets, idx, side="right")) - 1
+        return self.parts[part][idx - int(self.offsets[part])]
+
+
+def get_train_dataset(cfg, data_dir="data"):
+    """Reference get_data (main.py:257-311), minus host-side transforms."""
+    ds = cfg.dataset
+    if ds == "fsd50k":
+        return D.FSD50K(cfg, split="train_val",
+                        norm_stats=None if cfg.pre_norm else D.NORM_STATS["fsd50k"],
+                        data_dir=data_dir, seed=cfg.seed)
+    if ds == "librispeech":
+        return D.LibriSpeech(cfg, norm_stats=D.NORM_STATS["librispeech"],
+                             data_dir=data_dir, seed=cfg.seed)
+    if ds == "fsd50k+librispeech":
+        return _ConcatDataset([
+            D.FSD50K(cfg, split="train_val", norm_stats=D.NORM_STATS["fsd50k"],
+                     data_dir=data_dir, seed=cfg.seed),
+            D.LibriSpeech(cfg, norm_stats=D.NORM_STATS["librispeech"],
+                          data_dir=data_dir, seed=cfg.seed),
+        ])
+    if ds == "audioset":
+        return D.AudioSet(cfg, norm_stats=D.NORM_STATS["audioset"],
+                          data_dir=data_dir, seed=cfg.seed)
+    if ds == "audioset+librispeech":
+        return _ConcatDataset([
+            D.AudioSet(cfg, norm_stats=D.NORM_STATS["audioset"],
+                       data_dir=data_dir, seed=cfg.seed),
+            D.LibriSpeech(cfg, norm_stats=D.NORM_STATS["librispeech"],
+                          n_dummy=527, data_dir=data_dir, seed=cfg.seed),
+        ])
+    if ds == "synthetic":
+        return D.SyntheticLMS(
+            cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
+        )
+    raise ValueError(f"Unsupported dataset {ds}")
+
+
+def mask_ratio_for_step(cfg, schedule, iteration: int, rng: np.random.Generator) -> float:
+    """Reference main.py:72-81."""
+    if not cfg.mask:
+        return 0.0
+    if schedule is not None:
+        return float(schedule[min(iteration, len(schedule) - 1)])
+    if cfg.random_mask_ratio:
+        # r ~ U(0.05, beta) with p=0.5 else 0 (utils.py:30-33)
+        if rng.random() > 0.5:
+            return float(rng.uniform(0.05, cfg.mask_beta))
+        return 0.0
+    return float(cfg.mask_ratio)
+
+
+class Trainer:
+    def __init__(self, cfg, byol: bool = False, data_dir: str = "data",
+                 log_dir: Optional[str] = None, wandb_run=None):
+        self.cfg = cfg
+        self.byol = byol
+        self.data_dir = data_dir
+        self.wandb_run = wandb_run
+
+        self.dataset = get_train_dataset(cfg, data_dir)
+        self.loader = DataLoader(
+            self.dataset, cfg.batch_size, shuffle=True, drop_last=True,
+            num_workers=cfg.num_workers, seed=cfg.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        self.niter_per_ep = len(self.loader)
+
+        self.mesh = get_mesh(cfg.data_axis_size)
+        n_dev = self.mesh.devices.size
+        self.mods, self.state = init_train_state(
+            cfg, jax.random.key(cfg.seed), niter_per_ep=self.niter_per_ep, byol=byol
+        )
+        self.state = self._replicate(self.state)
+        step_factory = make_byol_train_step if byol else make_train_step
+        self.train_step = step_factory(self.mods, world_scale=float(n_dev))
+
+        self.mask_schedule = None
+        if cfg.mask_ratio_schedule:
+            self.mask_schedule = schedules.sine_scheduler_increase(
+                final_value=cfg.mask_beta,
+                epochs=cfg.epochs,
+                niter_per_ep=self.niter_per_ep,
+                warmup_epochs=int(cfg.epochs / 5),
+                warmup_value=0,
+            )
+
+        self.logger = make_csv_logger(log_dir) if log_dir else None
+        self.host_rng = np.random.default_rng(cfg.seed + 17)
+        self.rng_key = jax.random.key(cfg.seed + 1)
+
+    def _replicate(self, state):
+        """Place the train state replicated over the mesh (params live on
+        every device; the batch is the only sharded input)."""
+        from ssl_audio_tpu.parallel import replicated
+
+        sharding = replicated(self.mesh)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, state
+        )
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, epoch: int) -> float:
+        cfg = self.cfg
+        self.loader.set_epoch(epoch)
+        total_loss, total_num = 0.0, 0
+        t_data = t_step = 0.0
+        tflag = time.time()
+        last_metrics = None
+        for it, (lms, _labels) in enumerate(self.loader):
+            t_data += time.time() - tflag
+            iteration = self.niter_per_ep * (epoch - 1) + it
+            mask_ratio = mask_ratio_for_step(cfg, self.mask_schedule, iteration, self.host_rng)
+
+            tflag = time.time()
+            batch = shard_batch(lms, self.mesh)
+            self.rng_key, step_key = jax.random.split(self.rng_key)
+            self.state, metrics = self.train_step(
+                self.state, batch, step_key, np.float32(mask_ratio)
+            )
+            last_metrics = metrics
+            # NaN guard (main.py:128-130) — checked without forcing a sync
+            # every step: inspect every 50 steps and at epoch end
+            if it % 50 == 0:
+                loss_val = float(metrics["loss"])
+                if not math.isfinite(loss_val):
+                    print(f"Loss is {loss_val}. Stopping training")
+                    sys.exit(1)
+                total_loss += loss_val * cfg.batch_size
+                total_num += cfg.batch_size
+                if self.logger is not None:
+                    self.logger.info(
+                        "epoch,{},step,{},loss,{}".format(epoch, iteration, loss_val)
+                    )
+                if self.wandb_run is not None:
+                    self.wandb_run.log({"Loss": loss_val})
+            t_step += time.time() - tflag
+            tflag = time.time()
+
+        if last_metrics is not None:
+            final_loss = float(last_metrics["loss"])
+            if not math.isfinite(final_loss):
+                print(f"Loss is {final_loss}. Stopping training")
+                sys.exit(1)
+        avg = total_loss / max(total_num, 1)
+        print(
+            f"Epoch [{epoch}/{cfg.epochs}] loss={avg:.4f} "
+            f"data_time={t_data:.1f}s step_time={t_step:.1f}s "
+            f"({self.niter_per_ep * cfg.batch_size / max(t_data + t_step, 1e-9):.0f} samples/s)"
+        )
+        return avg
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        ckpt_path: Optional[str] = None,
+        resume_path: Optional[str] = None,
+        eval_fn: Optional[Callable] = None,
+    ):
+        cfg = self.cfg
+        start_epoch = 1
+        if resume_path:
+            state, start_epoch = ckpt_lib.load_checkpoint(
+                resume_path, jax.device_get(self.state)
+            )
+            self.state = self._replicate(state)
+            print(f"Resumed from {resume_path} at epoch {start_epoch}")
+
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            self.train_one_epoch(epoch)
+            if ckpt_path and (epoch % cfg.epoch_save_f == 0 or epoch == cfg.epochs):
+                if jax.process_index() == 0:
+                    path = os.path.join(ckpt_path, f"model_{epoch}")
+                    ckpt_lib.save_checkpoint(path, jax.device_get(self.state), epoch + 1)
+                    print(f"Saved checkpoint {path}")
+            if eval_fn and (epoch % cfg.epoch_eval_f == 0 or epoch == cfg.epochs):
+                if not cfg.no_eval and jax.process_index() == 0:
+                    scores = eval_fn(self.mods, self.state, epoch)
+                    if self.logger is not None and scores:
+                        self.logger.info(
+                            "epoch,{},step,{},linear_score,{}".format(
+                                epoch, self.niter_per_ep * epoch, scores
+                            )
+                        )
+        return self.state

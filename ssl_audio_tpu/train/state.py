@@ -117,9 +117,10 @@ def init_train_state(
     target_params = None
     target_bs = None
     if byol:
-        # target initialized from online (main_bt_byol.py:428)
-        target_params = jax.tree.map(lambda x: x, params)
-        target_bs = jax.tree.map(lambda x: x, batch_stats)
+        # target initialized from online (main_bt_byol.py:428); materialized
+        # as distinct buffers so jit donation never sees aliased arguments
+        target_params = jax.tree.map(lambda x: jnp.array(x), params)
+        target_bs = jax.tree.map(lambda x: jnp.array(x), batch_stats)
 
     if byol and not cfg.stop_gradient:
         # target trains by gradient and shares the optimizer

@@ -1,0 +1,127 @@
+"""End-to-end smoke tests: synthetic dataset through the Trainer, checkpoint
+save/resume, and the CLI entry (invoked in-process)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ssl_audio_tpu.config import default_config
+from ssl_audio_tpu.data.datasets import SyntheticLMS, calculate_norm_stats
+from ssl_audio_tpu.data.pipeline import DataLoader
+from ssl_audio_tpu.train.loop import Trainer
+from ssl_audio_tpu.utils import checkpoint as ckpt_lib
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dataset="synthetic",
+        model_type="audiontt",
+        batch_size=8,
+        epochs=1,
+        synthetic_steps_per_epoch=3,
+        projector_hidden_dim=64,
+        projector_out_dim=16,
+        mixup_n_memory=16,
+        num_workers=2,
+        no_eval=True,
+    )
+    base.update(kw)
+    return default_config(**base)
+
+
+class TestDataLoader:
+    def test_batches_and_sharding(self):
+        cfg = tiny_cfg(synthetic_steps_per_epoch=4)
+        ds = SyntheticLMS(cfg, length=35)
+        dl = DataLoader(ds, batch_size=8, num_workers=2, seed=0)
+        batches = list(dl)
+        assert len(batches) == 4  # drop_last
+        x, y = batches[0]
+        assert x.shape == (8, 1, 64, 96) and y.shape == (8, 10)
+
+        # process sharding splits indices disjointly
+        dl0 = DataLoader(ds, batch_size=4, shuffle=False, process_index=0, process_count=2)
+        dl1 = DataLoader(ds, batch_size=4, shuffle=False, process_index=1, process_count=2)
+        assert set(dl0._indices()).isdisjoint(set(dl1._indices()))
+        assert len(dl0._indices()) + len(dl1._indices()) == 35
+
+    def test_epoch_reshuffle(self):
+        cfg = tiny_cfg()
+        ds = SyntheticLMS(cfg, length=64)
+        dl = DataLoader(ds, batch_size=8, seed=3)
+        dl.set_epoch(1)
+        i1 = dl._indices().copy()
+        dl.set_epoch(2)
+        i2 = dl._indices()
+        assert not np.array_equal(i1, i2)
+
+    def test_norm_stats(self):
+        cfg = tiny_cfg()
+        ds = SyntheticLMS(cfg, length=100)
+        mean, std = calculate_norm_stats(ds, n_norm_calc=50)
+        assert np.isfinite(mean) and std > 0
+
+
+class TestTrainer:
+    def test_one_epoch_synthetic(self):
+        cfg = tiny_cfg()
+        tr = Trainer(cfg)
+        loss = tr.train_one_epoch(1)
+        assert np.isfinite(loss) and loss > 0
+        assert int(tr.state.step) == 3
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = tiny_cfg()
+        tr = Trainer(cfg)
+        tr.train_one_epoch(1)
+        path = os.path.join(str(tmp_path), "ckpt")
+        ckpt_lib.save_checkpoint(path, jax.device_get(tr.state), epoch=2)
+
+        tr2 = Trainer(cfg)
+        restored, next_epoch = ckpt_lib.load_checkpoint(path, jax.device_get(tr2.state))
+        assert next_epoch == 2
+        a = jax.tree.leaves(tr.state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # resumed state trains further
+        tr2.state = tr2._replicate(restored)
+        loss = tr2.train_one_epoch(2)
+        assert np.isfinite(loss)
+
+    def test_byol_trainer(self):
+        cfg = tiny_cfg(stop_gradient=True, predictor=True)
+        tr = Trainer(cfg, byol=True)
+        loss = tr.train_one_epoch(1)
+        assert np.isfinite(loss)
+        assert tr.state.target_params is not None
+
+
+class TestCLI:
+    def test_main_entry(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main as main_mod
+
+        main_mod.main([
+            "--dataset", "synthetic", "--model_type", "audiontt",
+            "--epochs", "1", "--batch_size", "8",
+            "--synthetic_steps_per_epoch", "2", "--no_eval",
+            "--projector_hidden_dim", "64", "--projector_out_dim", "16",
+            "--epoch_save_f", "1",
+        ])
+        # a checkpoint must have been produced
+        results = list((tmp_path / "results" / "synthetic").iterdir())
+        assert len(results) == 1
+        assert any("model_1" in str(p) for p in results[0].iterdir())
+
+    def test_byol_entry(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main_bt_byol as byol_mod
+
+        byol_mod.main([
+            "--dataset", "synthetic", "--model_type", "audiontt",
+            "--epochs", "1", "--batch_size", "8",
+            "--synthetic_steps_per_epoch", "2", "--no_eval",
+            "--projector_hidden_dim", "64", "--projector_out_dim", "16",
+            "--stop_gradient", "--predictor",
+        ])
