@@ -1,0 +1,119 @@
+"""Tests for auxiliary subsystems: DINO objective, MetricLogger, FLOPs
+profiler, sweep driver, profiling utilities."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_audio_tpu.config import default_config
+from ssl_audio_tpu.objectives.dino import DINOHead, dino_loss, teacher_temp_schedule
+from ssl_audio_tpu.utils.flops import model_flops
+from ssl_audio_tpu.utils.metric_logger import MetricLogger, SmoothedValue
+from ssl_audio_tpu.utils.profiling import StepTimer
+
+
+class TestDINO:
+    def test_head_output_normalized_weight(self, rng):
+        head = DINOHead(out_dim=64, bottleneck_dim=16, hidden_dim=32)
+        x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+        variables = head.init({"params": jax.random.key(0)}, x, train=False)
+        out = head.apply(variables, x, train=False)
+        assert out.shape == (8, 64)
+        # weight-normalized last layer with g=1: columns of effective W unit-norm
+        v = variables["params"]["last_layer_v"]
+        w_eff = np.asarray(v / jnp.linalg.norm(v, axis=0, keepdims=True))
+        np.testing.assert_allclose(np.linalg.norm(w_eff, axis=0), 1.0, atol=1e-5)
+
+    def test_loss_vs_torch_formula(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        s = [rng.standard_normal((16, 32)).astype(np.float32) for _ in range(3)]
+        t = [rng.standard_normal((16, 32)).astype(np.float32) for _ in range(2)]
+        center = rng.standard_normal((1, 32)).astype(np.float32)
+        temp, stemp = 0.04, 0.1
+
+        ours, new_center = dino_loss(
+            [jnp.asarray(x) for x in s], [jnp.asarray(x) for x in t],
+            jnp.asarray(center), temp, stemp,
+        )
+        # torch re-implementation of dino.py:350-377
+        total, n_terms = 0.0, 0
+        for iq, q_np in enumerate(t):
+            q = F.softmax((torch.from_numpy(q_np) - torch.from_numpy(center)) / temp, dim=-1)
+            for v, s_np in enumerate(s):
+                if v == iq:
+                    continue
+                logp = F.log_softmax(torch.from_numpy(s_np) / stemp, dim=-1)
+                total += torch.sum(-q * logp, dim=-1).mean()
+                n_terms += 1
+        ref = float(total / n_terms)
+        np.testing.assert_allclose(float(ours), ref, rtol=1e-5)
+        # center EMA
+        t_all = np.concatenate(t)
+        ref_center = center * 0.9 + t_all.mean(0, keepdims=True) * 0.1
+        np.testing.assert_allclose(np.asarray(new_center), ref_center, atol=1e-5)
+
+    def test_teacher_temp_schedule(self):
+        sched = teacher_temp_schedule(0.04, 0.07, 10, 50)
+        assert len(sched) == 50
+        assert sched[0] == 0.04 and sched[-1] == 0.07
+        assert (np.diff(sched[:10]) > 0).all()
+
+
+class TestMetricLogger:
+    def test_smoothed_value(self):
+        v = SmoothedValue(window_size=3)
+        for x in [1, 2, 3, 4]:
+            v.update(x)
+        assert v.median == 3.0          # window [2,3,4]
+        assert v.global_avg == 2.5
+        assert v.max == 4 and v.value == 4
+
+    def test_logger_format_and_iteration(self, capsys):
+        ml = MetricLogger()
+        for x in ml.log_every(range(5), print_freq=2, header="test"):
+            ml.update(loss=float(x))
+        out = capsys.readouterr().out
+        assert "test" in out and "loss" in out and "Total time" in out
+
+    def test_sync_single_process_noop(self):
+        v = SmoothedValue()
+        v.update(1.0)
+        v.synchronize_between_processes()
+        assert v.global_avg == 1.0
+
+
+class TestFlops:
+    def test_audiontt_flops(self):
+        cfg = default_config(model_type="audiontt")
+        info = model_flops(cfg)
+        assert info["params"] > 6e6
+        # AudioNTT on (1,64,96): conv 64ch x2 + fc; ~1 GFLOP-ish per sample
+        assert info["flops_per_sample"] > 1e8
+
+
+class TestStepTimer:
+    def test_sections(self):
+        t = StepTimer()
+        with t.section("a"):
+            pass
+        with t.section("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert "a=" in t.summary()
+
+
+class TestSweep:
+    def test_builtin_sweep_tiny(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import run_hyperparameter_sweep as sweep
+
+        best = sweep.main([
+            "--dataset", "synthetic", "--model_type", "audiontt",
+            "--batch_size", "8", "--synthetic_steps_per_epoch", "2",
+            "--n_trials", "2", "--train_epochs", "1",
+            "--projector_hidden_dim", "64",
+            "--num_workers", "2",
+        ])
+        assert "params" in best and np.isfinite(best["value"])
+        assert (tmp_path / "sweep_results.json").exists()
