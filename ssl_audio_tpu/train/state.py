@@ -54,7 +54,15 @@ class Modules:
         mask_ratio=0, masked_recon=False,
     ):
         """Returns (output, new_batch_stats); output is (latent, recon_loss)
-        when masked_recon."""
+        when masked_recon.
+
+        With cfg.use_fp16 the encoder forward runs in bfloat16 (params + input
+        cast; outputs cast back to fp32) — the TPU analog of the reference's
+        torch.cuda.amp.autocast (main.py:84), with fp32 master params and the
+        head/loss kept in fp32."""
+        if self.cfg.use_fp16:
+            params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+            x = x.astype(jnp.bfloat16)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -63,7 +71,12 @@ class Modules:
             mutable=["batch_stats"], rngs=rngs,
             **self.encoder_kwargs(mask_ratio, masked_recon),
         )
-        return out, mut.get("batch_stats", batch_stats)
+        if self.cfg.use_fp16:
+            out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
+        new_bs = mut.get("batch_stats", batch_stats)
+        if self.cfg.use_fp16 and new_bs:
+            new_bs = jax.tree.map(lambda s: s.astype(jnp.float32), new_bs)
+        return out, new_bs
 
     def apply_head(self, params, batch_stats, x, train):
         variables = {"params": params}

@@ -199,3 +199,27 @@ class TestDataParallel:
         l1 = barlow_twins_pair_loss(z1, z2, world_scale=1.0)
         l4 = barlow_twins_pair_loss(z1, z2, world_scale=4.0)
         assert float(l4) != float(l1)
+
+
+class TestMixedPrecision:
+    def test_bf16_train_step(self, rng):
+        """--use_fp16 runs the encoder forward in bfloat16 with fp32 master
+        params; loss finite, params stay fp32 and update."""
+        import jax.numpy as jnp
+
+        cfg = small_cfg(use_fp16=True)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        p0 = np.asarray(jax.tree.leaves(state.params["encoder"])[0]).copy()
+        state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.0)
+        assert np.isfinite(float(metrics["loss"]))
+        leaf = jax.tree.leaves(state.params["encoder"])[0]
+        assert leaf.dtype == jnp.float32
+        assert not np.allclose(np.asarray(leaf), p0)
+
+    def test_bf16_vit_step(self, rng):
+        cfg = small_cfg(model_type="vit_tiny", use_fp16=True, mask=True)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.5)
+        assert np.isfinite(float(metrics["loss"]))
