@@ -40,7 +40,16 @@ def main(argv=None):
     os.makedirs(ckpt_path, exist_ok=True)
 
     eval_fn = None
-    if not cfg.no_eval and cfg.dataset not in ("synthetic",):
+    if not cfg.no_eval and cfg.dataset == "cifar10":
+        # cifar10 sanity path: weighted-cosine kNN monitor per epoch
+        # (reference main.py:479-483)
+        try:
+            from ssl_audio_tpu.eval.cifar_knn import make_cifar_knn_eval_fn
+
+            eval_fn = make_cifar_knn_eval_fn(cfg, wandb_run=wandb_run)
+        except FileNotFoundError as e:
+            print(f"kNN eval disabled: {e}")
+    elif not cfg.no_eval and cfg.dataset not in ("synthetic",):
         try:
             from ssl_audio_tpu.eval.linear import make_epoch_eval_fn
 

@@ -130,6 +130,29 @@ class MelSpec:
         )
 
     @functools.cached_property
+    def n_freqs_used(self) -> int:
+        """Frequency bins that can contribute to any mel band, rounded up to
+        a 128 lane multiple.  Bins above f_max have all-zero filterbank rows
+        (f_max 7800 < Nyquist -> rows 500..512 are zero for the defaults), so
+        truncating the DFT there is mathematically exact and removes both the
+        dead bins and the 513 -> 640 MXU lane padding."""
+        nz = np.nonzero(self.filterbank.sum(axis=1))[0]
+        last = int(nz.max()) + 1 if len(nz) else self.n_freqs
+        return min(self.n_freqs, ((last + 127) // 128) * 128)
+
+    @functools.cached_property
+    def dft_matrices_mel(self) -> tuple[np.ndarray, np.ndarray]:
+        """(C, S) truncated to n_freqs_used columns — for mel outputs only
+        (power_spectrogram keeps the full one-sided spectrum)."""
+        C, S = self.dft_matrices
+        k = self.n_freqs_used
+        return C[:, :k], S[:, :k]
+
+    @functools.cached_property
+    def filterbank_mel(self) -> np.ndarray:
+        return self.filterbank[: self.n_freqs_used]
+
+    @functools.cached_property
     def power_to_mel(self) -> np.ndarray:
         """Alias of filterbank, (n_freqs, n_mels)."""
         return self.filterbank
@@ -184,11 +207,11 @@ def power_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
 def mel_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
     """(..., L) -> (..., n_mels, T) mel power spectrogram."""
     frames = frame_signal(wav, spec)                               # (..., T, n_fft)
-    C, S = spec.dft_matrices
+    C, S = spec.dft_matrices_mel
     re = jnp.matmul(frames, jnp.asarray(C), precision=_PREC)
     im = jnp.matmul(frames, jnp.asarray(S), precision=_PREC)
-    power = re * re + im * im                                      # (..., T, n_freqs)
-    mel = jnp.matmul(power, jnp.asarray(spec.filterbank), precision=_PREC)
+    power = re * re + im * im                                      # (..., T, n_used)
+    mel = jnp.matmul(power, jnp.asarray(spec.filterbank_mel), precision=_PREC)
     return jnp.swapaxes(mel, -1, -2)
 
 

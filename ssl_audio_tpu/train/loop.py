@@ -66,6 +66,10 @@ def get_train_dataset(cfg, data_dir="data"):
         return D.SyntheticLMS(
             cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
         )
+    if ds == "cifar10":
+        from ssl_audio_tpu.data.cifar10 import Cifar10
+
+        return Cifar10(data_dir, train=True)
     raise ValueError(f"Unsupported dataset {ds}")
 
 

@@ -49,6 +49,18 @@ class Modules:
             return dict(mask_ratio=mask_ratio, masked_recon=masked_recon)
         return {}
 
+    def make_views(self, key, batch, aug_state):
+        """Two (or 2+N) augmented views of a batch: the audio pipeline
+        (AudioPairTransform) or the CIFAR pair transform, per dataset."""
+        if self.cfg.dataset == "cifar10":
+            from ssl_audio_tpu.augment.cifar import cifar_pair_views
+
+            v1, v2 = cifar_pair_views(key, batch)
+            return [v1, v2], aug_state
+        from ssl_audio_tpu.augment.transforms import make_pair_views
+
+        return make_pair_views(key, batch, aug_state, self.cfg)
+
     def apply_encoder(
         self, params, batch_stats, x, train, rngs=None,
         mask_ratio=0, masked_recon=False,
@@ -100,7 +112,10 @@ def init_train_state(
 ) -> tuple[Modules, TrainState]:
     mods = Modules(cfg)
     k_enc, k_head, k_pred, k_extra = jax.random.split(rng, 4)
-    sample = jnp.zeros((2, 1, cfg.n_mels, cfg.crop_frames), jnp.float32)
+    if cfg.dataset == "cifar10":
+        sample = jnp.zeros((2, 3, 32, 32), jnp.float32)
+    else:
+        sample = jnp.zeros((2, 1, cfg.n_mels, cfg.crop_frames), jnp.float32)
 
     enc_rngs = {"params": k_enc, "mask": k_extra, "dropout": k_extra, "droppath": k_extra}
     enc_vars = mods.encoder.init(

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ssl_audio_tpu.augment.transforms import make_pair_views
 from ssl_audio_tpu.objectives.barlow import barlow_twins_loss
 from ssl_audio_tpu.train.state import Modules, TrainState
 
@@ -38,7 +37,7 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
 
     def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
         ks = _split_rngs(key)
-        views, aug_state = make_pair_views(ks["aug"], batch, state.aug, cfg)
+        views, aug_state = mods.make_views(ks["aug"], batch, state.aug)
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
 
         def loss_fn(params):
@@ -106,7 +105,7 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
 
     def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
         ks = _split_rngs(key)
-        views, aug_state = make_pair_views(ks["aug"], batch, state.aug, cfg)
+        views, aug_state = mods.make_views(ks["aug"], batch, state.aug)
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
 
         def loss_fn(params, target_params):
