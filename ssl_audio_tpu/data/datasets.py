@@ -85,6 +85,14 @@ class _LMSDatasetBase:
         self.rng = np.random.default_rng(seed)
         self._mel = None
 
+    @property
+    def supports_native(self) -> bool:
+        """Whether the C++ batch loader can serve this dataset: pure `.npy`
+        reads with no host-side transform."""
+        return bool(self.cfg.load_lms) and self.transform is None and hasattr(
+            self, "batch_paths"
+        )
+
     def _to_lms_from_wav(self, path: str) -> np.ndarray:
         from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
 
@@ -144,18 +152,28 @@ class FSD50K(_LMSDatasetBase):
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx) -> Tuple[np.ndarray, np.ndarray]:
-        fname, labels = self.files[idx], self.labels[idx]
+    def _label(self, idx) -> np.ndarray:
         y = np.zeros(self.label_num, np.float32)
-        for s in labels.split(","):
+        for s in self.labels[idx].split(","):
             if s:
                 y[int(self.index_dict[s])] = 1.0
+        return y
+
+    def _npy_path(self, idx) -> str:
+        sub = "FSD50K.eval_audio" if self.split == "test" else "FSD50K.dev_audio"
+        return os.path.join(self.data_dir, f"FSD50K_lms/{sub}/{self.files[idx]}.npy")
+
+    def batch_paths(self, indices):
+        return [self._npy_path(int(i)) for i in indices], [self._label(int(i)) for i in indices]
+
+    def __getitem__(self, idx) -> Tuple[np.ndarray, np.ndarray]:
+        fname = self.files[idx]
         sub = "FSD50K.eval_audio" if self.split == "test" else "FSD50K.dev_audio"
         lms = self._load_item(
-            os.path.join(self.data_dir, f"FSD50K_lms/{sub}/{fname}.npy"),
+            self._npy_path(idx),
             os.path.join(self.data_dir, f"FSD50K/{sub}/{fname}.wav"),
         )
-        return lms, y
+        return lms, self._label(idx)
 
 
 class LibriSpeech(_LMSDatasetBase):
@@ -236,12 +254,24 @@ class AudioSet(_LMSDatasetBase):
     def __len__(self):
         return len(self.audio_fnames)
 
-    def __getitem__(self, idx):
-        fname, labels = self.audio_fnames[idx], self.labels[idx]
+    def _label(self, idx) -> np.ndarray:
         y = np.zeros(self.label_num, np.float32)
-        for s in labels.split("#"):
+        for s in self.labels[idx].split("#"):
             if s:
                 y[int(self.index_dict[s])] = 1.0
+        return y
+
+    def batch_paths(self, indices):
+        paths = [
+            os.path.join(self.base_dir, "unbalanced_train_segments",
+                         f"{self.audio_fnames[int(i)]}.npy")
+            for i in indices
+        ]
+        return paths, [self._label(int(i)) for i in indices]
+
+    def __getitem__(self, idx):
+        fname = self.audio_fnames[idx]
+        y = self._label(idx)
         path = os.path.join(self.base_dir, "unbalanced_train_segments", f"{fname}.npy")
         try:
             lms = np.load(path)[None]

@@ -64,20 +64,53 @@ class DataLoader:
         ys = np.stack([np.asarray(it[1]) for it in items])
         return xs, ys
 
+    def _native_reader(self):
+        """C++ batch-assembly fast path: available when the dataset exposes
+        batch_paths() (pure `.npy` lms reads) and the native lib builds."""
+        if not getattr(self.dataset, "supports_native", False):
+            return None
+        try:
+            from ssl_audio_tpu.data.native_loader import NativeBatchReader
+
+            cfg = self.dataset.cfg
+            norm = self.dataset.norm_stats or (0.0, 1.0)
+            return NativeBatchReader(
+                cfg.n_mels, self.dataset.crop_frames, norm[0], norm[1],
+                n_threads=self.num_workers,
+            )
+        except (RuntimeError, AttributeError):
+            return None
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         idx = self._indices()
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        native = self._native_reader()
+
+        def produce_batch(pool, b):
+            batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if native is not None:
+                paths, labels = self.dataset.batch_paths(batch_idx)
+                xs = native.read(paths, seed=self.seed * 1_000_003 + self.epoch * 131 + b)
+                return xs, np.stack(labels)
+            items = list(pool.map(self.dataset.__getitem__, batch_idx))
+            return self._collate(items)
 
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
-                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(self._collate(items))
+                    try:
+                        q.put(produce_batch(pool, b))
+                    except IOError:
+                        # native path failed (e.g. corrupt file): fall back to
+                        # the python path for this batch (which applies the
+                        # dataset's own fallback policy, datasets.py:335-340)
+                        batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        q.put(self._collate(items))
             q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

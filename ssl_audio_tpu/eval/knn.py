@@ -55,3 +55,27 @@ def eval_knn(
         top1 += (order[:, 0] == y).sum()
         top5 += (order[:, :5] == y[:, None]).any(axis=1).sum()
     return 100.0 * top1 / total, 100.0 * top5 / total
+
+
+def knn_map(
+    features: np.ndarray,
+    labels: np.ndarray,
+    bank: np.ndarray,
+    bank_labels: np.ndarray,
+    k: int = 200,
+    temperature: float = 0.5,
+) -> float:
+    """Multi-label kNN mAP (reference old/utils/knn_metric.py:23-97):
+    class scores = similarity-weighted votes of the k nearest bank entries'
+    multi-hot labels, evaluated with macro average precision."""
+    from sklearn.metrics import average_precision_score
+
+    f = features / np.linalg.norm(features, axis=1, keepdims=True).clip(1e-12)
+    b = bank / np.linalg.norm(bank, axis=1, keepdims=True).clip(1e-12)
+    sim = f @ b.T
+    k = min(k, bank.shape[0])
+    idx = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+    w = np.exp(np.take_along_axis(sim, idx, axis=1) / temperature)  # (B, k)
+    votes = np.einsum("bk,bkc->bc", w, bank_labels[idx])            # (B, C)
+    keep = labels.sum(axis=0) > 0
+    return float(average_precision_score(labels[:, keep], votes[:, keep]))

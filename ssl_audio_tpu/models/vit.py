@@ -420,6 +420,20 @@ class MaskedAutoencoderViT(nn.Module):
             return latent, self.forward_loss(imgs, pred, out_mask)
         return latent
 
+    def forward_viz(self, imgs: jnp.ndarray, mask_ratio=0.75, train: bool = False):
+        """Reconstruction visualization (reference forward_viz,
+        mae.py:471-480): returns (loss, recons, errormap, mask_grid) with
+        visible patches copied from the input."""
+        tokens, mask = self.forward_encoder(imgs, mask_ratio, None, train)
+        pred = self.forward_decoder(tokens, mask)
+        loss = self.forward_loss(imgs, pred, mask)
+        target = self.patchify(imgs)
+        visible = (mask == 0.0)[..., None]
+        pred_on_mask = jnp.where(visible, target, pred)
+        recons = self.unpatchify(pred_on_mask)
+        errormap = jnp.sqrt((recons - imgs) ** 2)
+        return loss, recons, errormap, mask.reshape(mask.shape[0], *self.grid_size())
+
     def forward_attn(self, imgs: jnp.ndarray, mask_ratio=0, train: bool = False):
         """Stacked per-block attention maps (mae.py:482-489)."""
         tokens, _, key_bias = self.prepare_tokens(imgs, mask_ratio, None, train)

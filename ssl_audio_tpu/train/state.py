@@ -28,6 +28,8 @@ class TrainState:
     # BYOL variant: target network (params + stats); None otherwise
     target_params: Optional[Dict[str, Any]] = None
     target_batch_stats: Optional[Dict[str, Any]] = None
+    # objective-specific carried state (e.g. the DINO center); None otherwise
+    extra: Optional[Dict[str, Any]] = None
 
 
 class Modules:

@@ -1,0 +1,132 @@
+"""DINO / BYOL-A training steps + method-dispatch entry + kNN mAP +
+forward_viz."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_audio_tpu.config import default_config
+from ssl_audio_tpu.train.legacy_steps import (
+    init_legacy_state,
+    make_byola_train_step,
+    make_dino_train_step,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dataset="synthetic", model_type="audiontt", batch_size=8,
+        projector_hidden_dim=64, projector_out_dim=16, mixup_n_memory=16,
+        synthetic_steps_per_epoch=2, epochs=1, num_workers=2, no_eval=True,
+    )
+    base.update(kw)
+    return default_config(**base)
+
+
+def batch(rng, b=8):
+    return jnp.asarray(rng.standard_normal((b, 1, 64, 96)).astype(np.float32))
+
+
+class TestDinoStep:
+    def test_loss_finite_center_updates(self, rng):
+        cfg = tiny_cfg()
+        mods, state = init_legacy_state(cfg, jax.random.key(0), "dino")
+        step = make_dino_train_step(mods)
+        c0 = np.asarray(state.extra["center"]).copy()
+        state, m = step(state, batch(rng), jax.random.key(1),
+                        np.float32(0.04), np.float32(0.996))
+        assert np.isfinite(float(m["loss"]))
+        assert not np.allclose(np.asarray(state.extra["center"]), c0)
+        # teacher trails the student after the EMA update
+        t = np.asarray(jax.tree.leaves(state.target_params["encoder"])[0])
+        s = np.asarray(jax.tree.leaves(state.params["encoder"])[0])
+        assert not np.allclose(t, s)
+
+    def test_multi_crop_dino(self, rng):
+        cfg = tiny_cfg(model_type="vit_tiny", local_crops_number=2)
+        mods, state = init_legacy_state(cfg, jax.random.key(0), "dino")
+        step = make_dino_train_step(mods)
+        state, m = step(state, batch(rng), jax.random.key(1),
+                        np.float32(0.04), np.float32(0.996))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestByolaStep:
+    def test_loss_decreases_target_trails(self, rng):
+        cfg = tiny_cfg(moving_average_decay=0.9)
+        mods, state = init_legacy_state(cfg, jax.random.key(0), "byola")
+        step = make_byola_train_step(mods)
+        b = batch(rng)
+        losses = []
+        for i in range(4):
+            state, m = step(state, b, jax.random.fold_in(jax.random.key(1), i),
+                            np.float32(0.0))
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestMethodDispatch:
+    def test_dino_entry(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main_pretrain
+
+        main_pretrain.main([
+            "--method", "dino", "--dataset", "synthetic", "--model_type",
+            "audiontt", "--epochs", "1", "--batch_size", "8",
+            "--synthetic_steps_per_epoch", "2", "--no_eval",
+            "--projector_hidden_dim", "64", "--projector_out_dim", "16",
+            "--num_workers", "2",
+        ])
+        assert (tmp_path / "results/synthetic/dino_audiontt").exists()
+
+    def test_byola_entry(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import main_pretrain
+
+        main_pretrain.main([
+            "--method", "byola", "--dataset", "synthetic", "--model_type",
+            "audiontt", "--epochs", "1", "--batch_size", "8",
+            "--synthetic_steps_per_epoch", "2", "--no_eval",
+            "--projector_hidden_dim", "64", "--projector_out_dim", "16",
+            "--num_workers", "2",
+        ])
+
+
+class TestKnnMap:
+    def test_separable(self, rng):
+        from ssl_audio_tpu.eval.knn import knn_map
+
+        X = np.concatenate([
+            rng.standard_normal((40, 8)) + 4 * np.eye(8)[c % 8]
+            for c in range(3) for _ in [0]
+        ]).astype(np.float32)
+        Y = np.concatenate([np.tile(np.eye(3)[c], (40, 1)) for c in range(3)]).astype(np.float32)
+        score = knn_map(X[:30], Y[:30], X, Y, k=20)
+        assert score > 0.9
+
+
+class TestForwardViz:
+    def test_recon_viz(self, rng):
+        from ssl_audio_tpu.models import get_mae_vit
+
+        model = get_mae_vit("tiny", use_decoder=True)
+        x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
+        variables = model.init({"params": jax.random.key(0), "mask": jax.random.key(1)},
+                               x, train=False, masked_recon=True, mask_ratio=0.75)
+        loss, recons, errmap, mask = model.apply(
+            variables, x, mask_ratio=0.75, train=False,
+            rngs={"mask": jax.random.key(2)}, method=model.forward_viz,
+        )
+        assert recons.shape == x.shape and errmap.shape == x.shape
+        assert mask.shape == (2, 4, 6)
+        # visible patches are copied verbatim from the input
+        m = np.asarray(mask)
+        r = np.asarray(recons)
+        xi = np.asarray(x)
+        for i in range(4):
+            for j in range(6):
+                if m[0, i, j] == 0:
+                    np.testing.assert_allclose(
+                        r[0, 0, i*16:(i+1)*16, j*16:(j+1)*16],
+                        xi[0, 0, i*16:(i+1)*16, j*16:(j+1)*16], atol=1e-6,
+                    )
