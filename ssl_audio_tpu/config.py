@@ -27,7 +27,8 @@ DATASETS = [
     "fsd50k+librispeech",
     "audioset+librispeech",
     "cifar10",
-    "synthetic",  # extension: host-free random data for smoke/bench runs
+    "synthetic",      # extension: host-free random log-mels for smoke/bench runs
+    "synthetic_wav",  # extension: raw waveforms for the on-device-frontend mode
 ]
 
 OPTIMIZERS = ["Adam", "AdamW", "SGD", "LARS"]

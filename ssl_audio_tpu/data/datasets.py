@@ -320,3 +320,64 @@ def calculate_norm_stats(dataset, n_norm_calc=10000, seed=0):
     mean = float(vecs.mean())
     std = float(vecs.std() + np.finfo(np.float32).eps)
     return mean, std
+
+
+class SyntheticWav:
+    """Random fixed-length waveforms for the on-device-frontend training mode
+    (wav -> mel -> crop -> augment inside the jitted step)."""
+
+    returns_wav = True
+
+    def __init__(self, cfg, length: Optional[int] = None, clip_seconds: float = 10.0,
+                 n_classes: int = 10, seed: int = 0):
+        self.cfg = cfg
+        self.length = length if length is not None else cfg.synthetic_len
+        self.n_samples = int(clip_seconds * cfg.sample_rate)
+        self.n_classes = n_classes
+        self.label_num = n_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 999_983 + idx)
+        cls = idx % self.n_classes
+        t = np.arange(self.n_samples) / self.cfg.sample_rate
+        f0 = 200.0 * (1.3 ** cls)
+        wav = 0.2 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(self.n_samples)
+        y = np.zeros(self.n_classes, np.float32)
+        y[cls] = 1.0
+        return wav.astype(np.float32), y
+
+
+class WavClips:
+    """Generic directory-of-wavs dataset for the on-device-frontend mode:
+    fixed-length (pad/crop) raw waveforms + dummy labels."""
+
+    returns_wav = True
+
+    def __init__(self, cfg, wav_dir: str, clip_seconds: float = 10.0, seed: int = 0):
+        self.cfg = cfg
+        self.n_samples = int(clip_seconds * cfg.sample_rate)
+        self.rng = np.random.default_rng(seed)
+        self.paths = []
+        for root, _d, files in os.walk(wav_dir):
+            for f in sorted(files):
+                if f.lower().endswith(".wav"):
+                    self.paths.append(os.path.join(root, f))
+        if not self.paths:
+            raise FileNotFoundError(f"no .wav files under {wav_dir}")
+        self.label_num = 1
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx):
+        wav = load_wav(self.paths[idx], self.cfg.sample_rate)
+        if len(wav) >= self.n_samples:
+            start = int(self.rng.integers(0, len(wav) - self.n_samples + 1))
+            wav = wav[start : start + self.n_samples]
+        else:
+            wav = np.pad(wav, (0, self.n_samples - len(wav)))
+        return wav.astype(np.float32), np.zeros(1, np.float32)

@@ -66,6 +66,10 @@ def get_train_dataset(cfg, data_dir="data"):
         return D.SyntheticLMS(
             cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
         )
+    if ds == "synthetic_wav":
+        return D.SyntheticWav(
+            cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
+        )
     if ds == "cifar10":
         from ssl_audio_tpu.data.cifar10 import Cifar10
 
@@ -109,8 +113,20 @@ class Trainer:
             cfg, jax.random.key(cfg.seed), niter_per_ep=self.niter_per_ep, byol=byol
         )
         self.state = self._replicate(self.state)
-        step_factory = make_byol_train_step if byol else make_train_step
-        self.train_step = step_factory(self.mods, world_scale=float(n_dev))
+        if byol:
+            self.train_step = make_byol_train_step(self.mods, world_scale=float(n_dev))
+        else:
+            frontend = None
+            if getattr(self.dataset, "returns_wav", False):
+                # end-to-end mode: raw waveforms in, mel+crop on device
+                from ssl_audio_tpu.train.steps import make_device_frontend
+
+                stats = D.NORM_STATS.get(cfg.dataset.split("+")[0].split("_")[0],
+                                         (0.0, 1.0))
+                frontend = make_device_frontend(cfg, stats)
+            self.train_step = make_train_step(
+                self.mods, world_scale=float(n_dev), frontend=frontend
+            )
 
         self.mask_schedule = None
         if cfg.mask_ratio_schedule:

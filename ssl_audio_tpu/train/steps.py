@@ -21,22 +21,54 @@ from ssl_audio_tpu.objectives.barlow import barlow_twins_loss
 from ssl_audio_tpu.train.state import Modules, TrainState
 
 
-def _split_rngs(key, names=("aug", "mask", "dropout", "droppath")):
+def _split_rngs(key, names=("aug", "mask", "dropout", "droppath", "frontend")):
     keys = jax.random.split(key, len(names))
     return dict(zip(names, keys))
 
 
-def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True):
+def make_device_frontend(cfg, norm_stats):
+    """wav (B, L) -> normalized log-mel crops (B, 1, n_mels, crop_frames),
+    entirely on device — the TPU-native replacement for the reference's
+    host-side wav decode + mel + crop (datasets.py:98-119).  Inside the same
+    jit as the train step, XLA hoists the crop above the DFT so only the
+    cropped frames are transformed."""
+    from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
+
+    spec = MelSpec.from_config(cfg)
+    mean, std = norm_stats
+
+    def frontend(key, wavs):
+        n_frames = spec.num_frames(wavs.shape[-1])
+        lms = log_mel_spectrogram(wavs, spec)
+        B = wavs.shape[0]
+        hi = max(n_frames - cfg.crop_frames, 1)
+        starts = jax.random.randint(key, (B,), 0, hi)
+        idx = starts[:, None] + jnp.arange(min(cfg.crop_frames, n_frames))[None, :]
+        lms = jnp.take_along_axis(lms, idx[:, None, :], axis=2)[:, None]
+        if n_frames < cfg.crop_frames:
+            lms = jnp.pad(
+                lms, ((0, 0), (0, 0), (0, 0), (0, cfg.crop_frames - n_frames))
+            )
+        return (lms - mean) / std
+
+    return frontend
+
+
+def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True,
+                    frontend=None):
     """Returns train_step(state, batch, key, mask_ratio) -> (state, metrics).
 
     batch: (B, 1, n_mels, crop_frames) pre-normalized log-mels (the
-    reference's DataLoader output before AudioPairTransform).
+    reference's DataLoader output before AudioPairTransform) — or raw
+    (B, n_samples) waveforms when `frontend` (make_device_frontend) is given.
     mask_ratio: traced scalar (schedule / random / fixed, main.py:72-81).
     """
     cfg = mods.cfg
 
     def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
         ks = _split_rngs(key)
+        if frontend is not None:
+            batch = frontend(ks["frontend"], batch)
         views, aug_state = mods.make_views(ks["aug"], batch, state.aug)
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
 

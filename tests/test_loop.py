@@ -125,3 +125,14 @@ class TestCLI:
             "--projector_hidden_dim", "64", "--projector_out_dim", "16",
             "--stop_gradient", "--predictor",
         ])
+
+
+class TestDeviceFrontend:
+    def test_wav_mode_end_to_end(self):
+        """synthetic_wav: raw 10-s waveforms enter the jitted step; mel +
+        random crop + normalize + augment run on device."""
+        cfg = tiny_cfg(dataset="synthetic_wav", synthetic_steps_per_epoch=2)
+        tr = Trainer(cfg)
+        loss = tr.train_one_epoch(1)
+        assert np.isfinite(loss) and loss > 0
+        assert int(tr.state.step) == 2
