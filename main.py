@@ -21,6 +21,10 @@ from ssl_audio_tpu.utils.logging_utils import WandbRun
 def main(argv=None):
     cfg = config_from_args(argv)
 
+    from ssl_audio_tpu.parallel import init_distributed
+
+    init_distributed(cfg)
+
     timestamp = datetime.datetime.now().strftime("%H:%M_%h%d")
     save_name = (
         f"{cfg.model_type}_{cfg.epochs}_epochs" if cfg.name == ""

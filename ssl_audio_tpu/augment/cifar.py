@@ -6,7 +6,6 @@ Batched, RNG-keyed; bilinear resize expressed as per-sample interpolation
 matrices (same static-shape trick as the audio RandomResizeCrop)."""
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

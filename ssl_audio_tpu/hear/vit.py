@@ -8,7 +8,7 @@ TPU/CPU underneath.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,7 @@ import torch
 
 import ssl_audio_tpu.hear.utils as utils
 from ssl_audio_tpu.models import vit as vit_lib
-from ssl_audio_tpu.ops.mel import TORCH_FLOAT32_EPS, MelSpec, log_mel_spectrogram
+from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
 
 # Default frame duration / hop in ms, and inference batch size
 TIMESTAMP_FRAME_DUR = 950

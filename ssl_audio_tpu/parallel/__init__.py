@@ -1,6 +1,7 @@
 from ssl_audio_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     get_mesh,
+    init_distributed,
     replicated,
     shard_batch,
 )

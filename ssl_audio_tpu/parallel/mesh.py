@@ -16,6 +16,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(cfg) -> None:
+    """Multi-host initialization (reference init_distributed_mode,
+    utils.py:335-361): with --distributed, join the jax.distributed
+    coordinator (env-driven: COORDINATOR_ADDRESS / process ids, or
+    auto-detected on TPU pods).  Single-process runs are untouched."""
+    if not getattr(cfg, "distributed", False):
+        return
+    import jax
+
+    jax.distributed.initialize()
+    print(
+        f"[process {jax.process_index()}/{jax.process_count()}] "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+    )
+
+
 def get_mesh(n_devices: int = 0, devices=None) -> Mesh:
     """1-D data mesh over the first n_devices local devices (0 = all)."""
     if devices is None:

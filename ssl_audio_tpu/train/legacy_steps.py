@@ -11,7 +11,6 @@ mesh, collectives via GSPMD (the reference's all-reduced DINO center update,
 dino.py:380-383, is just the global batch mean here)."""
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

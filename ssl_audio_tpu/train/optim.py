@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ssl_audio_tpu.utils import schedules
 
 
 def lr_factor_fn(cfg, niter_per_ep: int) -> Callable:

@@ -11,7 +11,6 @@ make_byol_train_step   — online/target BT with EMA target (main_bt_byol.py)
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,19 +31,20 @@ def make_device_frontend(cfg, norm_stats):
     host-side wav decode + mel + crop (datasets.py:98-119).  Inside the same
     jit as the train step, XLA hoists the crop above the DFT so only the
     cropped frames are transformed."""
-    from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
+    from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram_cropped
 
     spec = MelSpec.from_config(cfg)
     mean, std = norm_stats
 
     def frontend(key, wavs):
         n_frames = spec.num_frames(wavs.shape[-1])
-        lms = log_mel_spectrogram(wavs, spec)
         B = wavs.shape[0]
+        out_frames = min(cfg.crop_frames, n_frames)
         hi = max(n_frames - cfg.crop_frames, 1)
         starts = jax.random.randint(key, (B,), 0, hi)
-        idx = starts[:, None] + jnp.arange(min(cfg.crop_frames, n_frames))[None, :]
-        lms = jnp.take_along_axis(lms, idx[:, None, :], axis=2)[:, None]
+        # explicit crop-before-transform: only out_frames frames per clip hit
+        # the DFT (XLA cannot hoist the crop through a gradient graph)
+        lms = log_mel_spectrogram_cropped(wavs, spec, starts, out_frames)[:, None]
         if n_frames < cfg.crop_frames:
             lms = jnp.pad(
                 lms, ((0, 0), (0, 0), (0, 0), (0, cfg.crop_frames - n_frames))

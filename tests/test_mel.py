@@ -110,3 +110,18 @@ def test_hear_win400_frames(spec, rng):
 def test_num_frames(spec):
     assert spec.num_frames(15200) == 96  # 0.95 s @ 16 kHz -> 96 frames
     assert spec.num_frames(160000) == 1001  # 10 s
+
+
+def test_cropped_log_mel_matches_full(spec, rng):
+    """log_mel_spectrogram_cropped(starts) == full log-mel sliced at starts."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl_audio_tpu.ops.mel import log_mel_spectrogram_cropped
+
+    wav = jnp.asarray(rng.standard_normal((3, 32000)).astype(np.float32))
+    full = np.asarray(log_mel_spectrogram(wav, spec))
+    starts = jnp.asarray([0, 5, full.shape[-1] - 96])
+    crop = np.asarray(log_mel_spectrogram_cropped(wav, spec, starts, 96))
+    for b, s in enumerate(np.asarray(starts)):
+        np.testing.assert_allclose(crop[b], full[b, :, s : s + 96], atol=1e-5)
