@@ -43,8 +43,6 @@ class TestLARS:
         # torch reference
         tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
         tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
-        import sys
-        sys.path.insert(0, "/root/reference")
         mu_w = torch.zeros_like(tw)
         mu_b = torch.zeros_like(tb)
         for _ in range(3):
