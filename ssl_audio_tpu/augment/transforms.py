@@ -26,6 +26,7 @@ from ssl_audio_tpu.augment import augmentations as A
 
 class AugmentState(NamedTuple):
     mixup: Optional[A.MixupState]
+    running_norm: Optional[A.RunningNormState] = None
 
 
 def init_augment_state(cfg, sample_shape: Tuple[int, ...] = None) -> AugmentState:
@@ -35,7 +36,11 @@ def init_augment_state(cfg, sample_shape: Tuple[int, ...] = None) -> AugmentStat
     mix = (
         A.init_mixup_state(cfg.mixup_n_memory, sample_shape) if cfg.mixup else None
     )
-    return AugmentState(mixup=mix)
+    rn = None
+    if cfg.pre_norm:
+        # per-sample mean/std over (mel, time): stats shape (1, 1, 1, 1)
+        rn = A.init_running_norm_state((1, 1, 1, 1))
+    return AugmentState(mixup=mix, running_norm=rn)
 
 
 def _global_view(
@@ -51,7 +56,7 @@ def _global_view(
         out, mix_state = A.mixup_byola(
             k_mix, out, state.mixup, ratio=cfg.mixup_ratio, update_bank=update_bank
         )
-        state = AugmentState(mixup=mix_state)
+        state = state._replace(mixup=mix_state)
     if cfg.Gnoise:
         out = A.mix_gaussian_noise(k_noise, out, ratio=0.2)
     if cfg.RRC:
@@ -87,6 +92,16 @@ def make_pair_views(
 ) -> Tuple[List[jnp.ndarray], AugmentState]:
     """Returns ([g1, g2, l1..lN], new_state); mirrors AudioPairTransform
     .forward (utils/transforms.py:49-58) over a whole batch."""
+    if cfg.pre_norm and state.running_norm is not None:
+        # BYOL-A pre-norm (reference main.py:272-277 wraps the transform in
+        # RunningNorm): streaming stats over batches here instead of the
+        # reference's per-sample python state — one put() per batch
+        lms, rn_state = A.running_norm(
+            lms, state.running_norm,
+            max_update=getattr(cfg, "pre_norm_max_update", 409660),
+            axis=(0, 1, 2, 3),
+        )
+        state = state._replace(running_norm=rn_state)
     n_keys = 2 + cfg.local_crops_number
     keys = jax.random.split(key, n_keys)
     g1, state = _global_view(keys[0], lms, state, cfg, update_bank=True)

@@ -113,8 +113,14 @@ class Trainer:
             cfg, jax.random.key(cfg.seed), niter_per_ep=self.niter_per_ep, byol=byol
         )
         self.state = self._replicate(self.state)
+        # Donation is the right default on real TPU deployments (frees input
+        # buffers), but costs ~42 ms/call through the axon remote tunnel
+        # (PERF.md) — disable it there.
+        donate = os.environ.get("PALLAS_AXON_POOL_IPS") is None
         if byol:
-            self.train_step = make_byol_train_step(self.mods, world_scale=float(n_dev))
+            self.train_step = make_byol_train_step(
+                self.mods, world_scale=float(n_dev), donate=donate
+            )
         else:
             frontend = None
             if getattr(self.dataset, "returns_wav", False):
@@ -125,7 +131,7 @@ class Trainer:
                                          (0.0, 1.0))
                 frontend = make_device_frontend(cfg, stats)
             self.train_step = make_train_step(
-                self.mods, world_scale=float(n_dev), frontend=frontend
+                self.mods, world_scale=float(n_dev), frontend=frontend, donate=donate
             )
 
         self.mask_schedule = None

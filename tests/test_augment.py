@@ -212,3 +212,26 @@ class TestPairTransform:
         v = np.asarray(views[0])
         np.testing.assert_allclose(v.mean(), 0.0, atol=1e-4)
         np.testing.assert_allclose(v.std(), 1.0, atol=1e-2)
+
+
+class TestPreNorm:
+    def test_pre_norm_in_pair_views(self, rng):
+        cfg = default_config(batch_size=8, pre_norm=True, mixup=False, RRC=False, RLF=False)
+        lms = jnp.asarray((rng.standard_normal((8, 1, 64, 96)) * 4 + 7).astype(np.float32))
+        state = init_augment_state(cfg)
+        assert state.running_norm is not None
+        views, state2 = make_pair_views(jax.random.key(0), lms, state, cfg)
+        v = np.asarray(views[0])
+        # first batch: normalized by its own stats -> ~N(0,1)
+        assert abs(v.mean()) < 0.1 and abs(v.std() - 1.0) < 0.1
+        assert int(state2.running_norm.n) == 1
+
+    def test_pre_norm_state_threads_with_mixup(self, rng):
+        cfg = default_config(batch_size=4, pre_norm=True, mixup=True,
+                             mixup_n_memory=8, RRC=False, RLF=False)
+        lms = jnp.asarray(rng.standard_normal((4, 1, 64, 96)).astype(np.float32))
+        state = init_augment_state(cfg)
+        _, state = make_pair_views(jax.random.key(0), lms, state, cfg)
+        _, state = make_pair_views(jax.random.key(1), lms, state, cfg)
+        assert int(state.running_norm.n) == 2
+        assert int(state.mixup.count) == 8
