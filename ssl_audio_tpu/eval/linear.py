@@ -121,6 +121,16 @@ def make_epoch_eval_fn(cfg, data_dir="data", wandb_run=None):
         batch_stats = jax.device_get(state.batch_stats)
         forward = make_embedding_forward(cfg, mods, params, batch_stats)
         scores = eval_linear(forward, *loaders)
+        if state.target_params is not None:
+            # BYOL variant: the reference probes the target (teacher) encoder
+            # too (main_bt_byol.py:519-527)
+            t_forward = make_embedding_forward(
+                cfg, mods,
+                jax.device_get(state.target_params),
+                jax.device_get(state.target_batch_stats),
+            )
+            t_scores = eval_linear(t_forward, *loaders, low_shot=False)
+            scores["teacher_score_all"] = t_scores["score_all"]
         if wandb_run is not None:
             wandb_run.log({
                 "FSD50K score (100%)": scores["score_all"],

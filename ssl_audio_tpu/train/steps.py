@@ -154,7 +154,10 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
                 )
                 if cfg.masked_recon:
                     o_out, rl = o_out
-                    recon_loss = recon_loss + rl
+                    # reference passes both crops through ONE backbone call,
+                    # so its recon loss is the mean over both (MultiCropWrapper
+                    # accumulates per resolution group only) — average here
+                    recon_loss = recon_loss + rl / 2.0
                 o_z, head_bs = mods.apply_head(params["head"], head_bs, o_out, train=True)
                 online_zs.append(o_z)
             # predictor over the concatenation (reference ncrops=1:
