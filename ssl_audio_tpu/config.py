@@ -129,6 +129,8 @@ class Config:
     synthetic_steps_per_epoch: int = 100
     # synthetic dataset size used to scale schedules
     synthetic_len: int = 12800
+    # write a jax.profiler trace of training steps 10-20 here (empty = off)
+    profile_dir: str = ""
 
     def __post_init__(self):
         if isinstance(self.local_crops_size, tuple):
@@ -236,6 +238,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic_steps_per_epoch", type=int, default=100)
     p.add_argument("--synthetic_len", type=int, default=12800)
+    p.add_argument("--profile_dir", type=str, default="")
     return p
 
 

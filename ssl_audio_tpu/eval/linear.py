@@ -26,17 +26,30 @@ def make_embedding_forward(cfg, mods, params, batch_stats) -> Callable:
 
     ViTs: per-96-frame-unit CLS, averaged (reference utils.py:278-314);
     conv encoders: direct pooled forward."""
+    enc_params = params["encoder"]
+    compute_dtype = jnp.bfloat16 if cfg.use_fp16_eval else None
+    if compute_dtype is not None:
+        # --use_fp16_eval: bfloat16 embedding extraction (reference uses AMP
+        # for eval when set, main.py:199-203)
+        enc_params = jax.tree.map(lambda p: p.astype(compute_dtype), enc_params)
+
+    def _cast_in(x):
+        return x.astype(compute_dtype) if compute_dtype is not None else x
+
+    def _cast_out(x):
+        return x.astype(jnp.float32) if compute_dtype is not None else x
+
     if is_vit(cfg):
         unit_frames = cfg.crop_frames
 
         @jax.jit
         def unit_apply(xu, return_all):
-            variables = {"params": params["encoder"]}
+            variables = {"params": enc_params}
             if batch_stats.get("encoder"):
                 variables["batch_stats"] = batch_stats["encoder"]
-            return mods.encoder.apply(
-                variables, xu, train=False, return_all=return_all
-            )
+            return _cast_out(mods.encoder.apply(
+                variables, _cast_in(xu), train=False, return_all=return_all
+            ))
 
         def forward(x):
             return encode_vit(
@@ -52,8 +65,10 @@ def make_embedding_forward(cfg, mods, params, batch_stats) -> Callable:
 
     @jax.jit
     def forward(x):
-        out, _ = mods.apply_encoder(params["encoder"], batch_stats["encoder"], x, train=False)
-        return out
+        variables = {"params": enc_params}
+        if batch_stats.get("encoder"):
+            variables["batch_stats"] = batch_stats["encoder"]
+        return _cast_out(mods.encoder.apply(variables, _cast_in(x), train=False))
 
     return forward
 

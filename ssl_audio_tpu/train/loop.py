@@ -169,6 +169,14 @@ class Trainer:
         for it, (lms, _labels) in enumerate(self.loader):
             t_data += time.time() - tflag
             iteration = self.niter_per_ep * (epoch - 1) + it
+            # optional jax.profiler trace of steps 10-20 of the first epoch
+            # (SURVEY.md §5 tracing; view with TensorBoard/XProf)
+            if cfg.profile_dir and epoch == 1:
+                if iteration == 10:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                elif iteration == 20:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {cfg.profile_dir}")
             mask_ratio = mask_ratio_for_step(cfg, self.mask_schedule, iteration, self.host_rng)
 
             tflag = time.time()

@@ -48,7 +48,10 @@ class Modules:
 
     def encoder_kwargs(self, mask_ratio=0, masked_recon=False):
         if self.vit:
-            return dict(mask_ratio=mask_ratio, masked_recon=masked_recon)
+            # mean_pool: reference ViT wrapper forwards use_mean_pool on every
+            # call (model.py:121-127)
+            return dict(mask_ratio=mask_ratio, masked_recon=masked_recon,
+                        mean_pool=self.cfg.use_mean_pool)
         return {}
 
     def make_views(self, key, batch, aug_state):

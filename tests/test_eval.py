@@ -154,3 +154,32 @@ class TestLinearEndToEnd:
         score = clf.score(X[128:], Y[128:])
         # random-init encoder on strongly class-structured data: mAP >> chance
         assert score > 0.5, score
+
+
+class TestEvalPrecisionAndPool:
+    def test_bf16_eval_forward(self):
+        cfg = default_config(model_type="audiontt", batch_size=8, use_fp16_eval=True,
+                             projector_hidden_dim=32, projector_out_dim=8)
+        from ssl_audio_tpu.train.state import init_train_state
+
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        fwd = make_embedding_forward(
+            cfg, mods, jax.device_get(state.params), jax.device_get(state.batch_stats)
+        )
+        x = jnp.zeros((2, 1, 64, 96), jnp.float32)
+        out = fwd(x)
+        assert out.dtype == jnp.float32 and out.shape == (2, 3072)
+
+    def test_mean_pool_flows_into_training(self, rng):
+        cfg = default_config(model_type="vit_tiny", batch_size=8, use_mean_pool=True,
+                             projector_hidden_dim=32, projector_out_dim=8,
+                             mixup_n_memory=16)
+        from ssl_audio_tpu.train.state import init_train_state
+        from ssl_audio_tpu.train.steps import make_train_step
+
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        assert mods.encoder_kwargs()["mean_pool"] is True
+        step = make_train_step(mods, donate=False)
+        batch = jnp.asarray(np.random.default_rng(0).standard_normal((8, 1, 64, 96)).astype(np.float32))
+        state, m = step(state, batch, jax.random.key(1), 0.0)
+        assert np.isfinite(float(m["loss"]))
