@@ -19,7 +19,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--in_dir", required=True)
     p.add_argument("--out_dir", required=True)
@@ -34,7 +34,7 @@ def main():
                    help="pad/bucket length for batched device conversion")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--workers", type=int, default=16)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax.numpy as jnp
 
@@ -61,37 +61,36 @@ def main():
 
     done = 0
     with ThreadPoolExecutor(args.workers) as pool:
-        batch, lengths, paths = [], [], []
+        # group by exact length: the mel of a zero-padded wav differs from
+        # the true-length mel near the tail (the reflect pad moves), so each
+        # same-length group converts exactly; distinct lengths cost one
+        # compile each (fine for an offline tool)
+        groups: dict = {}
 
-        def flush():
+        def flush(length):
             nonlocal done
-            if not batch:
+            g = groups.pop(length, None)
+            if not g:
                 return
-            arr = np.zeros((len(batch), bucket), np.float32)
-            for i, w in enumerate(batch):
-                arr[i, : len(w)] = w[:bucket]
-            lms = np.asarray(log_mel_spectrogram(jnp.asarray(arr), spec))
-            for i, (path, ln) in enumerate(zip(paths, lengths)):
-                n_frames = spec.num_frames(min(ln, bucket))
+            paths_g, wavs_g = zip(*g)
+            lms = np.asarray(log_mel_spectrogram(jnp.asarray(np.stack(wavs_g)), spec))
+            for path, l in zip(paths_g, lms):
                 rel = os.path.relpath(path, args.in_dir)
                 out = os.path.join(args.out_dir, os.path.splitext(rel)[0] + ".npy")
                 os.makedirs(os.path.dirname(out), exist_ok=True)
-                np.save(out, lms[i, :, :n_frames])
-            done += len(batch)
+                np.save(out, l)
+            done += len(paths_g)
             if done % 1024 < args.batch_size:
                 print(f"{done}/{len(files)}")
-            batch.clear(); lengths.clear(); paths.clear()
 
         for path, wav in pool.map(load, files):
-            # long files: convert in bucket-sized chunks concatenated
-            if len(wav) > bucket:
+            if len(wav) > bucket:   # cap very long files at batch_seconds
                 wav = wav[:bucket]
-            batch.append(wav)
-            lengths.append(len(wav))
-            paths.append(path)
-            if len(batch) == args.batch_size:
-                flush()
-        flush()
+            groups.setdefault(len(wav), []).append((path, wav))
+            if len(groups[len(wav)]) == args.batch_size:
+                flush(len(wav))
+        for length in list(groups):
+            flush(length)
     print(f"Converted {done} files -> {args.out_dir}")
 
 
