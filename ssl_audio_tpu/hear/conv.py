@@ -110,27 +110,35 @@ def get_timestamp_embeddings(
 ) -> Tuple[torch.Tensor, torch.Tensor]:
     audio = _as_numpy(audio_list)
     cfg = model.cfg
-    frames, timestamps = utils.frame_audio(
-        audio,
-        frame_size=int((frame_duration / 1000) * cfg.sample_rate),
-        hop_size=hop_size,
-        sample_rate=cfg.sample_rate,
+    frame_size = int((frame_duration / 1000) * cfg.sample_rate)
+    from ssl_audio_tpu.hear.vit import _frame_audio_on_device
+
+    flat, timestamps, N = _frame_audio_on_device(
+        audio, frame_size, hop_size, cfg.sample_rate
     )
-    n_sounds, n_frames, _ = frames.shape
-    flat = frames.reshape(n_sounds * n_frames, -1)
+    n_sounds = audio.shape[0]
+    n_frames = N // n_sounds
 
-    mels = []
-    for i in range(0, len(flat), BATCH_SIZE):
-        mels.append(np.asarray(model.to_feature(flat[i : i + BATCH_SIZE])))
-    mel = np.concatenate(mels)
-    mean, std = utils.compute_timestamp_stats(mel)
-    mel = (mel - mean) / std
+    # device-resident pipeline (see hear/vit.py): the audio uploads once,
+    # windows/mel/stats stay on device, only final embeddings come back
+    n_pad = flat.shape[0] - N
+    mels = [
+        model.to_feature(flat[i : i + BATCH_SIZE])
+        for i in range(0, flat.shape[0], BATCH_SIZE)
+    ]
+    total = N * int(np.prod(mels[0].shape[1:]))
+    real = [m if i < len(mels) - 1 or not n_pad else m[: BATCH_SIZE - n_pad]
+            for i, m in enumerate(mels)]
+    s1 = sum(jnp.sum(m) for m in real)
+    s2 = sum(jnp.sum(m * m) for m in real)
+    mu = s1 / total
+    var = (s2 - total * mu * mu) / (total - 1)
+    mean = mu / N
+    std = jnp.sqrt(var) / N
 
-    embs = []
-    for i in range(0, len(mel), BATCH_SIZE):
-        embs.append(np.asarray(model.forward(jnp.asarray(mel[i : i + BATCH_SIZE]))))
-    emb = np.concatenate(embs).reshape(n_sounds, n_frames, -1)
-    return torch.from_numpy(emb).float(), torch.from_numpy(timestamps).float()
+    embs = [np.asarray(model.forward((m - mean) / std)) for m in mels]
+    emb = np.concatenate(embs)[:N].reshape(n_sounds, n_frames, -1)
+    return torch.from_numpy(emb).float(), timestamps
 
 
 def get_scene_embeddings(
@@ -140,11 +148,30 @@ def get_scene_embeddings(
 ) -> torch.Tensor:
     """Per-clip: mel -> scene-stats normalize -> single conv forward
     (reference conv.py:179-216)."""
-    audio = _as_numpy(audio_list)
-    lms_list = [np.asarray(model.to_feature(a[None]))[0] for a in audio]
-    mean, std = utils.compute_scene_stats(lms_list)
+    try:
+        audio = _as_numpy(audio_list)
+        ragged = False
+    except ValueError:
+        ragged = True
+    if ragged:
+        # variable-length clip list: reference-style per-clip loop
+        lms_list = [np.asarray(model.to_feature(_as_numpy(a)[None]))[0]
+                    for a in audio_list]
+        mean, std = utils.compute_scene_stats(lms_list)
+        embs = [np.asarray(model.forward((jnp.asarray(l)[None] - mean) / std))
+                for l in lms_list]
+        return torch.from_numpy(np.concatenate(embs)).float()
+
+    # equal-length clips (the heareval case): one batched mel + batched
+    # forwards (the reference loops clip-by-clip, conv.py:179-216; batching
+    # is exact here)
+    lms = model.to_feature(audio)                              # (B, 1, F, T)
+    per_clip_mean = lms.mean(axis=(1, 2, 3))
+    per_clip_std = lms.std(axis=(1, 2, 3), ddof=1)             # torch .std()
+    mean = per_clip_mean.mean()                                # scene stats
+    std = per_clip_std.mean()                                  # (utils.py:20-34)
     embs = []
-    for lms in lms_list:
-        x = (jnp.asarray(lms)[None] - mean) / std             # (1, 1, F, T)
+    for i in range(0, lms.shape[0], BATCH_SIZE):
+        x = (lms[i : i + BATCH_SIZE] - mean) / std
         embs.append(np.asarray(model.forward(x)))
     return torch.from_numpy(np.concatenate(embs)).float()

@@ -144,6 +144,45 @@ def _as_numpy(audio) -> np.ndarray:
     return np.asarray(audio)
 
 
+def _frame_audio_on_device(
+    audio: np.ndarray, frame_size: int, hop_size: float, sample_rate: int
+):
+    """Device-side frame_audio (same windows/timestamps as
+    hear/utils.py:56-105): the audio uploads ONCE; the 19x-overlapped
+    (n_sounds*n_frames, frame_size) window tensor is a static gather on
+    device instead of an n_frames-times-larger host upload.
+
+    Returns (flat_frames_device [padded to a BATCH_SIZE multiple],
+    timestamps (n_sounds, n_frames), N real rows)."""
+    n_sounds, n_samples = audio.shape
+    pad_l = frame_size // 2
+    pad_r = frame_size - pad_l
+    num_padded = n_samples + frame_size
+    frame_step = hop_size / 1000.0 * sample_rate
+    starts, ts = [], []
+    i = 0
+    while True:
+        start = int(round(i * frame_step))
+        if start + frame_size > num_padded:
+            break
+        starts.append(start)
+        ts.append(i * frame_step / sample_rate * 1000.0)
+        i += 1
+    n_frames = len(starts)
+    x = jnp.pad(jnp.asarray(audio), ((0, 0), (pad_l, pad_r)))
+    idx = np.asarray(starts)[:, None] + np.arange(frame_size)[None, :]
+    frames = x[:, idx]                                         # (S, F, frame)
+    flat = frames.reshape(n_sounds * n_frames, frame_size)
+    N = flat.shape[0]
+    n_pad = (-N) % BATCH_SIZE
+    if n_pad:
+        flat = jnp.pad(flat, ((0, n_pad), (0, 0)))
+    timestamps = np.broadcast_to(
+        np.asarray(ts, np.float32)[None], (n_sounds, n_frames)
+    ).copy()
+    return flat, torch.from_numpy(timestamps).float(), N
+
+
 def get_timestamp_embeddings(
     audio_list: List,
     model: ViTModelWrapper,
@@ -155,30 +194,38 @@ def get_timestamp_embeddings(
     + centered timestamps in ms (reference vit.py:157-226)."""
     audio = _as_numpy(audio_list)
     cfg = model.cfg
-    frames, timestamps = utils.frame_audio(
-        audio,
-        frame_size=int((frame_duration / 1000) * cfg.sample_rate),
-        hop_size=hop_size,
-        sample_rate=cfg.sample_rate,
+    frame_size = int((frame_duration / 1000) * cfg.sample_rate)
+    flat, timestamps, N = _frame_audio_on_device(
+        audio, frame_size, hop_size, cfg.sample_rate
     )
-    n_sounds, n_frames, _ = frames.shape
-    flat = frames.reshape(n_sounds * n_frames, -1)
+    n_sounds = audio.shape[0]
+    n_frames = N // n_sounds
 
-    # mel in batches, then reference-style stats normalization (incl. its
-    # 1/N rescale quirk, hear/utils.py:37-53)
-    mels = []
-    for i in range(0, len(flat), BATCH_SIZE):
-        mels.append(np.asarray(model.to_feature(flat[i : i + BATCH_SIZE])))
-    mel = np.concatenate(mels)                                # (N, 1, F, T)
-    mean, std = utils.compute_timestamp_stats(mel)
-    mel = (mel - mean) / std
+    # mel in fixed-size device chunks (tail padded: one compile per call);
+    # intermediates never leave the device — only the final embeddings do
+    n_pad = flat.shape[0] - N
+    mels = [
+        model.to_feature(flat[i : i + BATCH_SIZE])
+        for i in range(0, flat.shape[0], BATCH_SIZE)
+    ]                                                          # device arrays
+    # reference-style stats normalization incl. its 1/N rescale quirk
+    # (hear/utils.py:37-53), computed on device over the REAL rows only
+    total = N * int(np.prod(mels[0].shape[1:]))
+    real = [m if i < len(mels) - 1 or not n_pad else m[: BATCH_SIZE - n_pad]
+            for i, m in enumerate(mels)]
+    s1 = sum(jnp.sum(m) for m in real)
+    s2 = sum(jnp.sum(m * m) for m in real)
+    mu = s1 / total
+    var = (s2 - total * mu * mu) / (total - 1)                 # unbiased, torch .std()
+    mean = mu / N
+    std = jnp.sqrt(var) / N
 
-    embs = []
-    for i in range(0, len(mel), BATCH_SIZE):
-        units = model.encode_lms(jnp.asarray(mel[i : i + BATCH_SIZE]))
-        embs.append(np.asarray(units.mean(axis=1)))           # mean over units
-    emb = np.concatenate(embs).reshape(n_sounds, n_frames, -1)
-    return torch.from_numpy(emb).float(), torch.from_numpy(timestamps).float()
+    embs = [
+        np.asarray(model.encode_lms((m - mean) / std).mean(axis=1))
+        for m in mels
+    ]
+    emb = np.concatenate(embs)[:N].reshape(n_sounds, n_frames, -1)
+    return torch.from_numpy(emb).float(), timestamps
 
 
 def get_scene_embeddings(

@@ -124,3 +124,21 @@ class TestCheckpointLoading:
         ref = jax.tree.leaves(jax.device_get(state.params["encoder"]))[0]
         got = jax.tree.leaves(model.params)[0]
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+class TestDeviceFraming:
+    def test_matches_host_frame_audio(self, rng):
+        """_frame_audio_on_device == host frame_audio windows + timestamps."""
+        import numpy as np
+
+        from ssl_audio_tpu.hear.vit import BATCH_SIZE, _frame_audio_on_device
+
+        audio = rng.standard_normal((3, 32000)).astype(np.float32)
+        host_f, host_t = hutils.frame_audio(audio, 15200, 50, 16000)
+        flat, ts, N = _frame_audio_on_device(audio, 15200, 50, 16000)
+        assert N == host_f.shape[0] * host_f.shape[1]
+        np.testing.assert_array_equal(
+            np.asarray(flat)[:N], host_f.reshape(N, -1)
+        )
+        np.testing.assert_allclose(ts.numpy(), host_t, atol=1e-4)
+        assert flat.shape[0] % BATCH_SIZE == 0

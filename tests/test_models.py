@@ -231,3 +231,19 @@ class TestWrapper:
         cfg = default_config(model_type=model_type)
         enc, d = build_encoder(cfg)
         assert d == dim
+
+
+class TestIntermediateLayers:
+    def test_intermediate_layers(self, rng):
+        from ssl_audio_tpu.models import get_mae_vit
+
+        model = get_mae_vit("tiny")
+        x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        outs = model.apply(variables, x, train=False,
+                           method=model.get_intermediate_layers)
+        assert len(outs) == 12
+        assert all(o.shape == (2, 25, 192) for o in outs)
+        # final intermediate equals the normed full-forward tokens
+        allt = model.apply(variables, x, return_all=True, train=False)
+        np.testing.assert_allclose(np.asarray(outs[-1]), np.asarray(allt), atol=1e-5)
