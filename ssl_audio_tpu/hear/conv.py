@@ -119,25 +119,14 @@ def get_timestamp_embeddings(
     n_sounds = audio.shape[0]
     n_frames = N // n_sounds
 
-    # device-resident pipeline (see hear/vit.py): the audio uploads once,
-    # windows/mel/stats stay on device, only final embeddings come back
-    n_pad = flat.shape[0] - N
-    mels = [
-        model.to_feature(flat[i : i + BATCH_SIZE])
-        for i in range(0, flat.shape[0], BATCH_SIZE)
-    ]
-    total = N * int(np.prod(mels[0].shape[1:]))
-    real = [m if i < len(mels) - 1 or not n_pad else m[: BATCH_SIZE - n_pad]
-            for i, m in enumerate(mels)]
-    s1 = sum(jnp.sum(m) for m in real)
-    s2 = sum(jnp.sum(m * m) for m in real)
-    mu = s1 / total
-    var = (s2 - total * mu * mu) / (total - 1)
-    mean = mu / N
-    std = jnp.sqrt(var) / N
+    # single-jit device pipeline (see hear/vit.py _timestamp_pipeline)
+    from ssl_audio_tpu.hear.vit import _timestamp_pipeline
 
-    embs = [np.asarray(model.forward((m - mean) / std)) for m in mels]
-    emb = np.concatenate(embs)[:N].reshape(n_sounds, n_frames, -1)
+    emb = np.asarray(_timestamp_pipeline(
+        model, flat, N,
+        encode_fn=lambda variables, m: model.model.apply(variables, m, train=False),
+    ))
+    emb = emb[:N].reshape(n_sounds, n_frames, -1)
     return torch.from_numpy(emb).float(), timestamps
 
 

@@ -183,6 +183,54 @@ def _frame_audio_on_device(
     return flat, torch.from_numpy(timestamps).float(), N
 
 
+def _timestamp_pipeline(model, flat: jnp.ndarray, N: int, encode_fn=None) -> jnp.ndarray:
+    """(M, frame_size) device windows (M = BATCH_SIZE multiple, N real rows)
+    -> (M, D) per-window embeddings.  One jit per (model, M) pair; mel,
+    the reference's 1/N stats quirk (hear/utils.py:37-53, unbiased std),
+    normalization and the encoder all run under a single lax.map — one
+    dispatch, one host fetch."""
+    if encode_fn is None:
+        def encode_fn(variables, m):
+            from ssl_audio_tpu.eval.encode import encode_lms_units
+
+            units = encode_lms_units(
+                lambda xu, _ra: model.model.apply(variables, xu, train=False),
+                m, model.model.img_size[1],
+            )
+            return units.mean(axis=1)
+
+    cache = getattr(model, "_ts_pipeline_cache", None)
+    if cache is None:
+        cache = model._ts_pipeline_cache = {}
+    key_shape = (flat.shape, N)
+    fn = cache.get(key_shape)
+    if fn is None:
+
+        def pipeline(variables, flat):
+            # NOTE: model weights come in as an ARGUMENT — closing over them
+            # would bake ~100 MB of constants into the HLO (the remote
+            # compiler rejects the oversized program)
+            chunks = flat.reshape(-1, BATCH_SIZE, flat.shape[-1])
+            mels = jax.lax.map(model.to_feature, chunks)       # (C, B, 1, F, T)
+            M = flat.shape[0]
+            per_row = int(np.prod(mels.shape[2:]))
+            row_ids = jnp.arange(M).reshape(mels.shape[0], BATCH_SIZE)
+            rmask = (row_ids < N).astype(jnp.float32)[..., None, None, None]
+            total = N * per_row
+            s1 = jnp.sum(mels * rmask)
+            s2 = jnp.sum(mels * mels * rmask)
+            mu = s1 / total
+            var = (s2 - total * mu * mu) / (total - 1)         # torch .std()
+            mean = mu / N
+            std = jnp.sqrt(var) / N
+
+            embs = jax.lax.map(lambda m: encode_fn(variables, (m - mean) / std), mels)
+            return embs.reshape(M, -1)
+
+        fn = cache[key_shape] = jax.jit(pipeline)
+    return fn(model.variables, flat)
+
+
 def get_timestamp_embeddings(
     audio_list: List,
     model: ViTModelWrapper,
@@ -201,30 +249,11 @@ def get_timestamp_embeddings(
     n_sounds = audio.shape[0]
     n_frames = N // n_sounds
 
-    # mel in fixed-size device chunks (tail padded: one compile per call);
-    # intermediates never leave the device — only the final embeddings do
-    n_pad = flat.shape[0] - N
-    mels = [
-        model.to_feature(flat[i : i + BATCH_SIZE])
-        for i in range(0, flat.shape[0], BATCH_SIZE)
-    ]                                                          # device arrays
-    # reference-style stats normalization incl. its 1/N rescale quirk
-    # (hear/utils.py:37-53), computed on device over the REAL rows only
-    total = N * int(np.prod(mels[0].shape[1:]))
-    real = [m if i < len(mels) - 1 or not n_pad else m[: BATCH_SIZE - n_pad]
-            for i, m in enumerate(mels)]
-    s1 = sum(jnp.sum(m) for m in real)
-    s2 = sum(jnp.sum(m * m) for m in real)
-    mu = s1 / total
-    var = (s2 - total * mu * mu) / (total - 1)                 # unbiased, torch .std()
-    mean = mu / N
-    std = jnp.sqrt(var) / N
-
-    embs = [
-        np.asarray(model.encode_lms((m - mean) / std).mean(axis=1))
-        for m in mels
-    ]
-    emb = np.concatenate(embs)[:N].reshape(n_sounds, n_frames, -1)
+    # whole pipeline (mel -> reference-quirk stats -> normalize -> per-unit
+    # CLS -> unit mean), chunked with lax.map inside ONE jit: a single
+    # dispatch and a single host fetch of the final embeddings
+    emb = np.asarray(_timestamp_pipeline(model, flat, N))
+    emb = emb[:N].reshape(n_sounds, n_frames, -1)
     return torch.from_numpy(emb).float(), timestamps
 
 
