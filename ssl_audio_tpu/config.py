@@ -243,7 +243,33 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def config_from_args(argv=None) -> Config:
-    args = build_argparser().parse_args(argv)
+    """CLI -> Config.  `--config path.yaml` loads yaml values first (the
+    legacy tree's config style, old/configs/*.yaml — flat keys or nested
+    sections are both flattened); explicit CLI flags override them."""
+    parser = build_argparser()
+    parser.add_argument("--config", type=str, default=None,
+                        help="yaml config file; CLI flags override its values")
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    args = parser.parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
     kw = {k: v for k, v in vars(args).items() if k in known}
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            raw = yaml.safe_load(f) or {}
+        flat = {}
+        for k, v in raw.items():
+            if isinstance(v, dict):      # nested legacy sections
+                flat.update(v)
+            else:
+                flat[k] = v
+        # CLI flags explicitly present on the command line win over yaml
+        explicit = {a.lstrip("-").split("=")[0] for a in argv if a.startswith("--")}
+        for k, v in flat.items():
+            if k in known and k not in explicit:
+                kw[k] = v
     return setup_model_defaults(Config(**kw))

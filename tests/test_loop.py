@@ -136,3 +136,23 @@ class TestDeviceFrontend:
         loss = tr.train_one_epoch(1)
         assert np.isfinite(loss) and loss > 0
         assert int(tr.state.step) == 2
+
+
+class TestYamlConfig:
+    def test_yaml_defaults_and_cli_override(self, tmp_path):
+        from ssl_audio_tpu.config import config_from_args
+
+        cfgfile = tmp_path / "exp.yaml"
+        cfgfile.write_text(
+            "model_type: vit_tiny\n"
+            "optimizer_section:\n"
+            "  lmbda: 0.01\n"
+            "  batch_size: 64\n"
+            "epochs: 7\n"
+        )
+        cfg = config_from_args(["--config", str(cfgfile)])
+        assert cfg.model_type == "vit_tiny" and cfg.epochs == 7
+        assert cfg.lmbda == 0.01 and cfg.batch_size == 64
+        # explicit CLI flag beats yaml
+        cfg2 = config_from_args(["--config", str(cfgfile), "--epochs", "3"])
+        assert cfg2.epochs == 3 and cfg2.batch_size == 64
