@@ -156,3 +156,17 @@ class TestYamlConfig:
         # explicit CLI flag beats yaml
         cfg2 = config_from_args(["--config", str(cfgfile), "--epochs", "3"])
         assert cfg2.epochs == 3 and cfg2.batch_size == 64
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self):
+        """Two Trainers with identical config+seed produce identical losses."""
+        cfg = tiny_cfg(seed=42)
+        l1 = Trainer(cfg).train_one_epoch(1)
+        l2 = Trainer(cfg).train_one_epoch(1)
+        assert l1 == l2
+
+    def test_different_seed_differs(self):
+        l1 = Trainer(tiny_cfg(seed=1)).train_one_epoch(1)
+        l2 = Trainer(tiny_cfg(seed=2)).train_one_epoch(1)
+        assert l1 != l2
