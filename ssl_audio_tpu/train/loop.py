@@ -117,22 +117,18 @@ class Trainer:
         # buffers), but costs ~42 ms/call through the axon remote tunnel
         # (PERF.md) — disable it there.
         donate = os.environ.get("PALLAS_AXON_POOL_IPS") is None
-        if byol:
-            self.train_step = make_byol_train_step(
-                self.mods, world_scale=float(n_dev), donate=donate
-            )
-        else:
-            frontend = None
-            if getattr(self.dataset, "returns_wav", False):
-                # end-to-end mode: raw waveforms in, mel+crop on device
-                from ssl_audio_tpu.train.steps import make_device_frontend
+        frontend = None
+        if getattr(self.dataset, "returns_wav", False):
+            # end-to-end mode: raw waveforms in, mel+crop on device
+            from ssl_audio_tpu.train.steps import make_device_frontend
 
-                stats = D.NORM_STATS.get(cfg.dataset.split("+")[0].split("_")[0],
-                                         (0.0, 1.0))
-                frontend = make_device_frontend(cfg, stats)
-            self.train_step = make_train_step(
-                self.mods, world_scale=float(n_dev), frontend=frontend, donate=donate
-            )
+            stats = D.NORM_STATS.get(cfg.dataset.split("+")[0].split("_")[0],
+                                     (0.0, 1.0))
+            frontend = make_device_frontend(cfg, stats)
+        step_factory = make_byol_train_step if byol else make_train_step
+        self.train_step = step_factory(
+            self.mods, world_scale=float(n_dev), frontend=frontend, donate=donate
+        )
 
         self.mask_schedule = None
         if cfg.mask_ratio_schedule:

@@ -125,7 +125,8 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True):
+def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True,
+                         frontend=None):
     """BYOL-style variant (main_bt_byol.py:40-166): online encoder takes both
     global crops (masked) + predictor; target encoder takes all crops; loss
     pairs skip same indices (ngcrops_each=2).  With --stop_gradient the
@@ -137,6 +138,8 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
 
     def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
         ks = _split_rngs(key)
+        if frontend is not None:
+            batch = frontend(ks["frontend"], batch)
         views, aug_state = mods.make_views(ks["aug"], batch, state.aug)
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
 

@@ -170,3 +170,12 @@ class TestDeterminism:
         l1 = Trainer(tiny_cfg(seed=1)).train_one_epoch(1)
         l2 = Trainer(tiny_cfg(seed=2)).train_one_epoch(1)
         assert l1 != l2
+
+
+class TestByolWavMode:
+    def test_byol_with_device_frontend(self):
+        cfg = tiny_cfg(dataset="synthetic_wav", stop_gradient=True, predictor=True,
+                       synthetic_steps_per_epoch=2)
+        tr = Trainer(cfg, byol=True)
+        loss = tr.train_one_epoch(1)
+        assert np.isfinite(loss)
