@@ -17,6 +17,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+# reference init: kaiming_normal(fan_out, relu) for every conv
+# (resnet.py:207-212); BatchNorm scale=1/bias=0 is the flax default
+_KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
 def _as_hw(stride) -> Tuple[int, int]:
     if isinstance(stride, (list, tuple)):
         return (int(stride[0]), int(stride[1]))
@@ -37,20 +42,20 @@ class BasicBlock(nn.Module):
         )
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, name="conv1")(x)
+                      use_bias=False, kernel_init=_KAIMING, name="conv1")(x)
         out = bn("bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=1, padding=1,
-                      use_bias=False, name="conv2")(out)
+                      use_bias=False, kernel_init=_KAIMING, name="conv2")(out)
         out = bn("bn2")(out)
         if self.use_projection:
             if self.D and self.stride != (1, 1):
                 identity = nn.avg_pool(identity, self.stride, strides=self.stride)
                 identity = nn.Conv(self.planes, (1, 1), strides=1,
-                                   use_bias=False, name="down_conv")(identity)
+                                   use_bias=False, kernel_init=_KAIMING, name="down_conv")(identity)
             else:
                 identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                                   use_bias=False, name="down_conv")(identity)
+                                   use_bias=False, kernel_init=_KAIMING, name="down_conv")(identity)
             identity = bn("down_bn")(identity)
         return nn.relu(out + identity)
 
@@ -70,21 +75,21 @@ class Bottleneck(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=_KAIMING, name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, name="conv2")(out)
+                      use_bias=False, kernel_init=_KAIMING, name="conv2")(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, kernel_init=_KAIMING, name="conv3")(out)
         out = bn("bn3")(out)
         if self.use_projection:
             if self.D and self.stride != (1, 1):
                 identity = nn.avg_pool(identity, self.stride, strides=self.stride)
                 identity = nn.Conv(self.planes * 4, (1, 1), strides=1,
-                                   use_bias=False, name="down_conv")(identity)
+                                   use_bias=False, kernel_init=_KAIMING, name="down_conv")(identity)
             else:
                 identity = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
-                                   use_bias=False, name="down_conv")(identity)
+                                   use_bias=False, kernel_init=_KAIMING, name="down_conv")(identity)
             identity = bn("down_bn")(identity)
         return nn.relu(out + identity)
 
@@ -118,14 +123,14 @@ class ResNet(nn.Module):
         h = jnp.transpose(x, (0, 2, 3, 1))                    # NHWC
         s0 = _as_hw(self.strides[0])
         if self.C:  # deep stem
-            h = nn.Conv(32, (3, 3), strides=s0, padding=1, use_bias=False, name="stem1")(h)
+            h = nn.Conv(32, (3, 3), strides=s0, padding=1, use_bias=False, kernel_init=_KAIMING, name="stem1")(h)
             h = nn.relu(bn("stem_bn1")(h))
-            h = nn.Conv(32, (3, 3), strides=1, padding=1, use_bias=False, name="stem2")(h)
+            h = nn.Conv(32, (3, 3), strides=1, padding=1, use_bias=False, kernel_init=_KAIMING, name="stem2")(h)
             h = nn.relu(bn("stem_bn2")(h))
-            h = nn.Conv(64, (3, 3), strides=1, padding=1, use_bias=False, name="stem3")(h)
+            h = nn.Conv(64, (3, 3), strides=1, padding=1, use_bias=False, kernel_init=_KAIMING, name="stem3")(h)
             h = nn.relu(bn("stem_bn3")(h))
         else:
-            h = nn.Conv(64, (7, 7), strides=s0, padding=3, use_bias=False, name="stem")(h)
+            h = nn.Conv(64, (7, 7), strides=s0, padding=3, use_bias=False, kernel_init=_KAIMING, name="stem")(h)
             h = nn.relu(bn("stem_bn")(h))
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
