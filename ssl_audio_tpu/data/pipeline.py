@@ -98,20 +98,24 @@ class DataLoader:
             return self._collate(items)
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    try:
-                        q.put(produce_batch(pool, b))
-                    except IOError:
-                        # native path failed (e.g. corrupt file): fall back to
-                        # the python path for this batch (which applies the
-                        # dataset's own fallback policy, datasets.py:335-340)
-                        batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        q.put(self._collate(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        try:
+                            q.put(produce_batch(pool, b))
+                        except IOError:
+                            # native path failed (e.g. corrupt file): fall
+                            # back to the python path for this batch (which
+                            # applies the dataset's own fallback policy,
+                            # datasets.py:335-340)
+                            batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                            items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                            q.put(self._collate(items))
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -120,6 +124,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

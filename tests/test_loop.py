@@ -179,3 +179,19 @@ class TestByolWavMode:
         tr = Trainer(cfg, byol=True)
         loss = tr.train_one_epoch(1)
         assert np.isfinite(loss)
+
+
+class TestLoaderErrorPropagation:
+    def test_producer_exception_reaches_consumer(self):
+        """A dataset error must raise in the consuming thread, not hang."""
+
+        class Broken:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, idx):
+                raise ValueError("boom")
+
+        dl = DataLoader(Broken(), batch_size=4, num_workers=2)
+        with pytest.raises(ValueError, match="boom"):
+            list(dl)
