@@ -77,16 +77,19 @@ def get_train_dataset(cfg, data_dir="data"):
     raise ValueError(f"Unsupported dataset {ds}")
 
 
-def mask_ratio_for_step(cfg, schedule, iteration: int, rng: np.random.Generator) -> float:
-    """Reference main.py:72-81."""
+def mask_ratio_for_step(cfg, schedule, iteration: int, rng: np.random.Generator,
+                        byol: bool = False) -> float:
+    """Reference main.py:72-81; the BYOL entry samples U(0.02, 0.2) instead
+    (main_bt_byol.py:68-75) and has no schedule."""
     if not cfg.mask:
         return 0.0
-    if schedule is not None:
+    if schedule is not None and not byol:
         return float(schedule[min(iteration, len(schedule) - 1)])
     if cfg.random_mask_ratio:
-        # r ~ U(0.05, beta) with p=0.5 else 0 (utils.py:30-33)
+        # r ~ U(lo, hi) with p=0.5 else 0 (utils.py:30-33)
+        lo, hi = (0.02, 0.2) if byol else (0.05, cfg.mask_beta)
         if rng.random() > 0.5:
-            return float(rng.uniform(0.05, cfg.mask_beta))
+            return float(rng.uniform(lo, hi))
         return 0.0
     return float(cfg.mask_ratio)
 
@@ -173,7 +176,9 @@ class Trainer:
                 elif iteration == 20:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {cfg.profile_dir}")
-            mask_ratio = mask_ratio_for_step(cfg, self.mask_schedule, iteration, self.host_rng)
+            mask_ratio = mask_ratio_for_step(
+                cfg, self.mask_schedule, iteration, self.host_rng, byol=self.byol
+            )
 
             tflag = time.time()
             batch = shard_batch(lms, self.mesh)
