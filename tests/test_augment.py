@@ -187,6 +187,7 @@ class TestPairTransform:
         assert views[0].shape == (4, 1, 64, 96)
         assert views[1].shape == (4, 1, 64, 96)
         assert views[2].shape == (4, 1, 16, 16)
+        # the bank receives each input once per step (see transforms.py)
         assert int(state.mixup.count) == 4
         # two global views must differ (independent augmentation draws)
         assert not np.allclose(np.asarray(views[0]), np.asarray(views[1]))
