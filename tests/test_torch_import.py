@@ -121,3 +121,25 @@ class TestResNetImport:
         with torch.no_grad():
             ref_out = ref(torch.from_numpy(x_np)).numpy()
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-3, rtol=1e-3)
+
+
+class TestFlagshipHearShape:
+    def test_vitc_small_16x8_import_parity(self, tmp_path, x_np):
+        """The paper's flagship HEAR ViT shape: conv-stem, patch 16x8."""
+        ref_mae = import_reference("models.mae")
+
+        torch.manual_seed(2)
+        ref = ref_mae.get_mae_vit("small", [16, 8], True)
+        ref.eval()
+        path = save_sd(tmp_path, ref, "vitc_small_16x8")
+
+        ours = vit_lib.get_mae_vit("small", [16, 8], True)
+        variables = ours.init({"params": jax.random.key(0)}, jnp.asarray(x_np), train=False)
+        params, batch_stats = torch_import.load_torch_vit_params(
+            path, variables["params"], variables["batch_stats"]
+        )
+        out = ours.apply({"params": params, "batch_stats": batch_stats},
+                         jnp.asarray(x_np), train=False)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np)).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-4)
