@@ -52,20 +52,29 @@ def train_classifier(
     tx = optax.adam(lr)
     opt_state = tx.init(trainable)
     enc_frozen = params["encoder"]
+    # FinetuneTrainer semantics (old/evaluate/finetune.py): the encoder is in
+    # train mode during finetune steps — BN running stats update and dropout is
+    # live — and in eval mode for prediction. LinearTrainer keeps it frozen in
+    # eval mode throughout. BN state is carried explicitly through the jitted
+    # step (flax mutable collections replace torch's in-module buffers).
+    enc_bs = batch_stats["encoder"]
 
-    def forward(trainable, x, train):
+    def forward(trainable, enc_bs, x, train, rngs=None):
         enc_params = trainable.get("encoder", enc_frozen)
-        feat, _ = mods.apply_encoder(enc_params, batch_stats["encoder"], x, train=False)
-        return feat @ trainable["head"]["w"] + trainable["head"]["b"]
+        feat, new_bs = mods.apply_encoder(enc_params, enc_bs, x, train=train, rngs=rngs)
+        return feat @ trainable["head"]["w"] + trainable["head"]["b"], new_bs
 
-    def loss_fn(trainable, x, y):
-        logits = forward(trainable, x, train=finetune)
+    def loss_fn(trainable, enc_bs, x, y, key):
+        rngs = {"dropout": key, "droppath": key, "mask": key} if finetune else None
+        logits, new_bs = forward(trainable, enc_bs, x, train=finetune, rngs=rngs)
         if single_label:
-            return optax.softmax_cross_entropy(logits, y).mean()
-        return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+            loss = optax.softmax_cross_entropy(logits, y).mean()
+        else:
+            loss = optax.sigmoid_binary_cross_entropy(logits, y).mean()
+        return loss, new_bs
 
     @jax.jit
-    def step(trainable, opt_state, key, x, y):
+    def step(trainable, enc_bs, opt_state, key, x, y):
         if mixup_alpha:
             k1, key = jax.random.split(key)
             x, y = spec_augment.mixup_batch(k1, x, y, mixup_alpha)
@@ -73,18 +82,20 @@ def train_classifier(
             k2, k3, key = jax.random.split(key, 3)
             x = spec_augment.freq_mask(k2, x)
             x = spec_augment.time_mask(k3, x)
-        loss, grads = jax.value_and_grad(loss_fn)(trainable, x, y)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, enc_bs, x, y, key
+        )
         updates, opt_state = tx.update(grads, opt_state, trainable)
-        return optax.apply_updates(trainable, updates), opt_state, loss
+        return optax.apply_updates(trainable, updates), new_bs, opt_state, loss
 
     @jax.jit
-    def predict(trainable, x):
-        return forward(trainable, x, train=False)
+    def predict(trainable, enc_bs, x):
+        return forward(trainable, enc_bs, x, train=False)[0]
 
-    def evaluate(trainable):
+    def evaluate(trainable, enc_bs):
         outs, tgts = [], []
         for x, y in val_loader:
-            logits = np.asarray(predict(trainable, jnp.asarray(x)))
+            logits = np.asarray(predict(trainable, enc_bs, jnp.asarray(x)))
             outs.append(logits)
             tgts.append(np.asarray(y))
         out, tgt = np.concatenate(outs), np.concatenate(tgts)
@@ -97,12 +108,16 @@ def train_classifier(
     for epoch in range(epochs):
         for x, y in train_loader:
             key, k = jax.random.split(key)
-            trainable, opt_state, loss = step(
-                trainable, opt_state, k, jnp.asarray(x), jnp.asarray(y)
+            trainable, enc_bs, opt_state, loss = step(
+                trainable, enc_bs, opt_state, k, jnp.asarray(x), jnp.asarray(y)
             )
-        score = evaluate(trainable)
+        score = evaluate(trainable, enc_bs)
         if score >= best:
-            best, best_trainable = score, jax.device_get(trainable)
+            best = score
+            best_trainable = jax.device_get(trainable)
+            if finetune:
+                best_trainable = dict(best_trainable,
+                                      encoder_batch_stats=jax.device_get(enc_bs))
         print(f"[{'finetune' if finetune else 'linear'}] epoch {epoch+1}/{epochs} "
               f"val={'acc' if single_label else 'mAP'} {score:.4f}")
     return best_trainable, best

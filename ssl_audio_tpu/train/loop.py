@@ -2,7 +2,6 @@
 (reference main.py:37-171 and 350-520, rebuilt around one jitted step)."""
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -157,14 +156,26 @@ class Trainer:
             lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, state
         )
 
+    def _check_monitor(self, monitor) -> float:
+        """Fetch the device-side monitor; abort on any NaN since the last
+        fetch (reference main.py:128-130 checks every step — here the
+        every-step isfinite is folded into the jitted step, so one fetch
+        covers all steps since the previous one). Returns summed loss."""
+        finite = bool(jax.device_get(monitor["finite"]))
+        if not finite:
+            print("Loss is not finite. Stopping training")
+            sys.exit(1)
+        return float(jax.device_get(monitor["loss_sum"]))
+
     # ------------------------------------------------------------------
     def train_one_epoch(self, epoch: int) -> float:
+        from ssl_audio_tpu.train.steps import init_monitor
+
         cfg = self.cfg
         self.loader.set_epoch(epoch)
-        total_loss, total_num = 0.0, 0
+        monitor = init_monitor()
         t_data = t_step = 0.0
         tflag = time.time()
-        last_metrics = None
         for it, (lms, _labels) in enumerate(self.loader):
             t_data += time.time() - tflag
             iteration = self.niter_per_ep * (epoch - 1) + it
@@ -183,19 +194,14 @@ class Trainer:
             tflag = time.time()
             batch = shard_batch(lms, self.mesh)
             self.rng_key, step_key = jax.random.split(self.rng_key)
-            self.state, metrics = self.train_step(
-                self.state, batch, step_key, np.float32(mask_ratio)
+            self.state, metrics, monitor = self.train_step(
+                self.state, batch, step_key, np.float32(mask_ratio), monitor
             )
-            last_metrics = metrics
-            # NaN guard (main.py:128-130) — checked without forcing a sync
-            # every step: inspect every 50 steps and at epoch end
+            # sampled sync point: fetches the carried finite-flag, so a NaN at
+            # ANY step since the last fetch aborts here (not just at it%50==0)
             if it % 50 == 0:
+                self._check_monitor(monitor)
                 loss_val = float(metrics["loss"])
-                if not math.isfinite(loss_val):
-                    print(f"Loss is {loss_val}. Stopping training")
-                    sys.exit(1)
-                total_loss += loss_val * cfg.batch_size
-                total_num += cfg.batch_size
                 if self.logger is not None:
                     self.logger.info(
                         "epoch,{},step,{},loss,{}".format(epoch, iteration, loss_val)
@@ -205,12 +211,11 @@ class Trainer:
             t_step += time.time() - tflag
             tflag = time.time()
 
-        if last_metrics is not None:
-            final_loss = float(last_metrics["loss"])
-            if not math.isfinite(final_loss):
-                print(f"Loss is {final_loss}. Stopping training")
-                sys.exit(1)
-        avg = total_loss / max(total_num, 1)
+        # epoch-end fetch covers the tail steps; loss_sum/count is the TRUE
+        # per-step average over the epoch (the reference averages every step)
+        loss_sum = self._check_monitor(monitor)
+        n_steps = int(jax.device_get(monitor["count"]))
+        avg = loss_sum / max(n_steps, 1)
         print(
             f"Epoch [{epoch}/{cfg.epochs}] loss={avg:.4f} "
             f"data_time={t_data:.1f}s step_time={t_step:.1f}s "

@@ -25,6 +25,29 @@ def _split_rngs(key, names=("aug", "mask", "dropout", "droppath", "frontend")):
     return dict(zip(names, keys))
 
 
+def init_monitor():
+    """Device-side training monitor: running finite-flag + loss accumulator.
+
+    The reference checks `math.isfinite(loss.item())` every step
+    (main.py:128-130) — a host sync per iteration.  Here the check is folded
+    into the jitted step and carried across steps, so fetching the monitor at
+    step k reports any NaN since the last fetch (and the true summed loss)
+    without ever forcing an extra device sync."""
+    return {
+        "finite": jnp.bool_(True),
+        "loss_sum": jnp.float32(0.0),
+        "count": jnp.int32(0),
+    }
+
+
+def _fold_monitor(monitor, loss):
+    return {
+        "finite": monitor["finite"] & jnp.isfinite(loss),
+        "loss_sum": monitor["loss_sum"] + loss,
+        "count": monitor["count"] + 1,
+    }
+
+
 def make_device_frontend(cfg, norm_stats):
     """wav (B, L) -> normalized log-mel crops (B, 1, n_mels, crop_frames),
     entirely on device — the TPU-native replacement for the reference's
@@ -65,7 +88,8 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
     """
     cfg = mods.cfg
 
-    def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
+    def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio,
+                   monitor=None):
         ks = _split_rngs(key)
         if frontend is not None:
             batch = frontend(ks["frontend"], batch)
@@ -120,7 +144,9 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
             aug=aug_state,
         )
         metrics = {"loss": loss, "bt_loss": bt, "recon_loss": recon}
-        return new_state, metrics
+        if monitor is None:
+            return new_state, metrics
+        return new_state, metrics, _fold_monitor(monitor, loss)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -136,7 +162,8 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
     cfg = mods.cfg
     beta = cfg.moving_average_decay
 
-    def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio):
+    def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio,
+                   monitor=None):
         ks = _split_rngs(key)
         if frontend is not None:
             batch = frontend(ks["frontend"], batch)
@@ -223,7 +250,9 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
             target_batch_stats=new_tbs,
         )
         metrics = {"loss": loss, "bt_loss": bt, "recon_loss": recon}
-        return new_state, metrics
+        if monitor is None:
+            return new_state, metrics
+        return new_state, metrics, _fold_monitor(monitor, loss)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

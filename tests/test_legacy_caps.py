@@ -121,6 +121,44 @@ class TestFinetune:
         )
         assert "encoder" in trained_ft
 
+    def test_finetune_updates_bn_stats_linear_freezes(self, rng):
+        """FinetuneTrainer parity (old/evaluate/finetune.py): encoder BN
+        running stats must update during finetune (train mode) and stay
+        frozen during linear eval."""
+        from ssl_audio_tpu.config import default_config
+        from ssl_audio_tpu.data.datasets import SyntheticLMS
+        from ssl_audio_tpu.data.pipeline import DataLoader
+        from ssl_audio_tpu.eval.finetune import train_classifier
+        from ssl_audio_tpu.train.state import init_train_state
+
+        cfg = default_config(model_type="audiontt", batch_size=8,
+                             projector_hidden_dim=32, projector_out_dim=8)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        ds = SyntheticLMS(cfg, length=16, n_classes=4)
+        dl = DataLoader(ds, batch_size=8, shuffle=True, drop_last=False, num_workers=0)
+        dl_val = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False, num_workers=0)
+        params = jax.device_get(state.params)
+        bs = jax.device_get(state.batch_stats)
+        bs_before = jax.tree.leaves(bs["encoder"])
+
+        trained_ft, _ = train_classifier(
+            mods, params, bs, dl, dl_val, n_classes=4, epochs=1, finetune=True,
+            mixup_alpha=None,
+        )
+        assert "encoder_batch_stats" in trained_ft
+        bs_after = jax.tree.leaves(trained_ft["encoder_batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(bs_before, bs_after)
+        )
+        assert changed, "finetune must update encoder BN running stats"
+
+        trained_lin, _ = train_classifier(
+            mods, params, bs, dl, dl_val, n_classes=4, epochs=1, finetune=False,
+            mixup_alpha=None,
+        )
+        assert "encoder_batch_stats" not in trained_lin
+
 
 class TestPlotting:
     def test_read_loss_csv(self, tmp_path):

@@ -89,6 +89,27 @@ class TestTrainer:
         loss = tr2.train_one_epoch(2)
         assert np.isfinite(loss)
 
+    def test_nan_at_unsampled_step_aborts(self):
+        """Every-step NaN detection (reference main.py:128-130): a NaN
+        injected at step 2 — NOT a multiple-of-50 sync point — must still
+        abort, because the carried device-side finite-flag is folded every
+        step and fetched at epoch end."""
+        cfg = tiny_cfg(synthetic_steps_per_epoch=4)
+        tr = Trainer(cfg)
+        orig = tr.train_step
+        calls = {"n": 0}
+
+        def poisoned(state, batch, key, mask_ratio, monitor):
+            calls["n"] += 1
+            if calls["n"] == 3:  # 0-indexed step 2: between sync points
+                batch = batch * np.float32(np.nan)
+            return orig(state, batch, key, mask_ratio, monitor)
+
+        tr.train_step = poisoned
+        with pytest.raises(SystemExit):
+            tr.train_one_epoch(1)
+        assert calls["n"] == 4  # NaN detected at the epoch-end fetch
+
     def test_byol_trainer(self):
         cfg = tiny_cfg(stop_gradient=True, predictor=True)
         tr = Trainer(cfg, byol=True)
