@@ -68,16 +68,67 @@ class _TreeWriter:
 # ViT
 # ---------------------------------------------------------------------------
 
-def load_torch_vit_params(path: str, params_template, batch_stats_template=None):
+def interpolate_pos_embed(pos_embed: np.ndarray, target_len: int,
+                          num_extra_tokens: int = 1,
+                          ckpt_grid=None, target_grid=None) -> np.ndarray:
+    """Bicubic-resize a checkpoint's learned pos-embed to a new patch grid
+    (reference models/pos_embed.py:71-92): extra (cls) tokens kept unchanged,
+    position tokens reshaped to the source grid and bicubic-interpolated
+    (align_corners=False) to the target grid.
+
+    The reference infers square grids from token counts; audio ViT grids are
+    usually rectangular, so pass ckpt_grid/target_grid explicitly for those.
+    Runs through torch's interpolate — this is a host-side, import-time
+    conversion, and torch's bicubic is the exact reference kernel."""
+    import torch
+    import torch.nn.functional as F
+
+    if pos_embed.shape[1] == target_len:
+        return pos_embed
+
+    def _grid(n, given, what):
+        if given is not None:
+            gh, gw = given
+            assert gh * gw == n, f"{what} grid {given} != {n} tokens"
+            return int(gh), int(gw)
+        s = int(round(n ** 0.5))
+        assert s * s == n, (
+            f"{what}: {n} position tokens is not square; pass {what}_grid"
+        )
+        return s, s
+
+    d = pos_embed.shape[-1]
+    oh, ow = _grid(pos_embed.shape[1] - num_extra_tokens, ckpt_grid, "ckpt")
+    nh, nw = _grid(target_len - num_extra_tokens, target_grid, "target")
+    extra = pos_embed[:, :num_extra_tokens]
+    tokens = torch.from_numpy(
+        np.ascontiguousarray(pos_embed[:, num_extra_tokens:], dtype=np.float32)
+    ).reshape(1, oh, ow, d).permute(0, 3, 1, 2)
+    tokens = F.interpolate(tokens, size=(nh, nw), mode="bicubic",
+                           align_corners=False)
+    tokens = tokens.permute(0, 2, 3, 1).reshape(1, nh * nw, d).numpy()
+    return np.concatenate([extra.astype(np.float32), tokens], axis=1)
+
+
+def load_torch_vit_params(path: str, params_template, batch_stats_template=None,
+                          ckpt_grid=None, target_grid=None):
     """Returns flax params (and batch_stats when a conv-stem template is
-    given) populated from a reference MAE-ViT state dict."""
+    given) populated from a reference MAE-ViT state dict.  A learned
+    pos-embed whose grid differs from the template's is bicubic-resized on
+    import, as the reference does via interpolate_pos_embed
+    (models/pos_embed.py:71-92)."""
     sd = _load_state_dict(path)
     w = _TreeWriter(params_template)
     bs = _TreeWriter(batch_stats_template) if batch_stats_template else None
 
     w.put(("cls_token",), sd["cls_token"])
     if "pos_embed" in w.tree:
-        w.put(("pos_embed",), sd["pos_embed"])
+        pe = sd["pos_embed"]
+        tgt_len = w.tree["pos_embed"].shape[1]
+        if pe.shape[1] != tgt_len:
+            pe = interpolate_pos_embed(pe, tgt_len, ckpt_grid=ckpt_grid,
+                                       target_grid=target_grid)
+        w.put(("pos_embed",), pe)
 
     if "patch_embed.proj.weight" in sd and sd["patch_embed.proj.weight"].ndim == 4:
         # plain PatchEmbed

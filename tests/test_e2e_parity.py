@@ -85,4 +85,6 @@ def test_full_bt_loss_parity(tmp_path, hsic):
     ours = float(barlow_twins_pair_loss(
         z1j, z2j, lmbda=0.005, alpha=1.0, HSIC=hsic
     ))
-    np.testing.assert_allclose(ours, ref_total, rtol=2e-3)
+    # measured agreement is ~1.2e-6 relative (COVERAGE.md); assert at 1e-5 to
+    # leave only noise headroom, not regression headroom
+    np.testing.assert_allclose(ours, ref_total, rtol=1e-5)

@@ -50,6 +50,54 @@ class TestDinoStep:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestDinoLossParity:
+    def test_matches_torch_dino_loss(self, rng):
+        """Value parity of dino_loss against a torch oracle that replicates
+        DINOLoss.forward + update_center verbatim
+        (reference old/methods/dino.py:332-388): student log-softmax over
+        ncrops chunks, teacher centered/sharpened softmax over 2 chunks,
+        same-index pairs skipped, center EMA over the teacher batch mean."""
+        import torch
+        import torch.nn.functional as F
+
+        from ssl_audio_tpu.objectives.dino import dino_loss
+
+        B, D, ncrops = 8, 16, 4
+        student_temp, center_momentum, temp = 0.1, 0.9, 0.04
+        student = rng.standard_normal((ncrops * B, D)).astype(np.float32)
+        teacher = rng.standard_normal((2 * B, D)).astype(np.float32)
+        center = rng.standard_normal((1, D)).astype(np.float32)
+
+        # ---- torch oracle (dino.py:350-388, world_size=1) -----------------
+        s_t = torch.from_numpy(student) / student_temp
+        s_chunks = s_t.chunk(ncrops)
+        t_out = F.softmax((torch.from_numpy(teacher) - torch.from_numpy(center)) / temp,
+                          dim=-1).detach().chunk(2)
+        total, n_terms = 0.0, 0
+        for iq, q in enumerate(t_out):
+            for v in range(len(s_chunks)):
+                if v == iq:
+                    continue
+                total = total + torch.sum(-q * F.log_softmax(s_chunks[v], dim=-1),
+                                          dim=-1).mean()
+                n_terms += 1
+        ref_loss = float(total / n_terms)
+        bc = torch.from_numpy(teacher).sum(dim=0, keepdim=True) / (2 * B)
+        ref_center = (torch.from_numpy(center) * center_momentum
+                      + bc * (1 - center_momentum)).numpy()
+
+        # ---- ours ----------------------------------------------------------
+        s_views = [jnp.asarray(c) for c in np.split(student, ncrops)]
+        t_views = [jnp.asarray(c) for c in np.split(teacher, 2)]
+        loss, new_center = dino_loss(
+            s_views, t_views, jnp.asarray(center), teacher_temp=temp,
+            student_temp=student_temp, center_momentum=center_momentum,
+        )
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_center), ref_center, rtol=1e-5,
+                                   atol=1e-7)
+
+
 class TestByolaStep:
     def test_loss_decreases_target_trails(self, rng):
         cfg = tiny_cfg(moving_average_decay=0.9)

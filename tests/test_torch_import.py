@@ -143,3 +143,56 @@ class TestFlagshipHearShape:
         with torch.no_grad():
             ref_out = ref(torch.from_numpy(x_np)).numpy()
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-4)
+
+
+class TestPosEmbedInterpolationOnImport:
+    def test_square_grid_matches_reference(self):
+        """interpolate_pos_embed value parity against the reference's own
+        implementation (models/pos_embed.py:71-92) on its square-grid case."""
+        import types
+
+        ref_pe = import_reference("models.pos_embed")
+        rng = np.random.default_rng(11)
+        D = 32
+        pe = rng.standard_normal((1, 1 + 16, D)).astype(np.float32)  # 4x4 + cls
+
+        ckpt = {"pos_embed": torch.from_numpy(pe.copy())}
+        model = types.SimpleNamespace(
+            patch_embed=types.SimpleNamespace(num_patches=36),
+            pos_embed=torch.zeros(1, 37, D),
+        )
+        ref_pe.interpolate_pos_embed(model, ckpt)
+        ref = ckpt["pos_embed"].numpy()
+
+        ours = torch_import.interpolate_pos_embed(pe, target_len=37)
+        assert ours.shape == (1, 37, D)
+        np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-6)
+
+    def test_rectangular_grid_and_cls_preserved(self):
+        rng = np.random.default_rng(12)
+        D = 16
+        pe = rng.standard_normal((1, 1 + 4 * 6, D)).astype(np.float32)
+        out = torch_import.interpolate_pos_embed(
+            pe, target_len=1 + 8 * 12, ckpt_grid=(4, 6), target_grid=(8, 12)
+        )
+        assert out.shape == (1, 1 + 96, D)
+        np.testing.assert_array_equal(out[:, 0], pe[:, 0])  # cls unchanged
+
+    def test_loader_interpolates_on_grid_mismatch(self, tmp_path):
+        """A checkpoint trained at one time-resolution imports into a model
+        built for another (reference usage: linear.py loads 64x96-grid
+        checkpoints into arbitrary-length eval models)."""
+        ref_mae = import_reference("models.mae")
+        torch.manual_seed(3)
+        ref = ref_mae.get_mae_vit("tiny", [16, 16], False)
+        path = save_sd(tmp_path, ref, "vit_grid_src")
+
+        ours = vit_lib.get_mae_vit("tiny", [16, 16], False, img_size=(64, 208),
+                                   use_learned_pos_embd=True)
+        x = np.random.default_rng(5).standard_normal((2, 1, 64, 208)).astype(np.float32)
+        variables = ours.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
+        params = torch_import.load_torch_vit_params(
+            path, variables["params"], ckpt_grid=(4, 6), target_grid=(4, 13)
+        )
+        out = ours.apply({"params": params}, jnp.asarray(x), train=False)
+        assert np.isfinite(np.asarray(out)).all()
