@@ -26,6 +26,7 @@ DATASETS = [
     "librispeech",
     "fsd50k+librispeech",
     "audioset+librispeech",
+    "nsynth",         # NSynth-50h HEAR task (reference sweep dataset, sweep.py:369-402)
     "cifar10",
     "synthetic",      # extension: host-free random log-mels for smoke/bench runs
     "synthetic_wav",  # extension: raw waveforms for the on-device-frontend mode

@@ -213,6 +213,7 @@ class NSynthHEAR(_LMSDatasetBase):
         with open(os.path.join(base, f"{split}.json")) as fp:
             data = json.load(fp)
         self.data = [(name, label[0]) for name, label in data.items()]
+        self.label_num = 88  # MIDI pitches 21-108 (reference sweep.py CLASSES)
 
     def __len__(self):
         return len(self.data)

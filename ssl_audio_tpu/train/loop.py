@@ -61,6 +61,9 @@ def get_train_dataset(cfg, data_dir="data"):
             D.LibriSpeech(cfg, norm_stats=D.NORM_STATS["librispeech"],
                           n_dummy=527, data_dir=data_dir, seed=cfg.seed),
         ])
+    if ds == "nsynth":
+        return D.NSynthHEAR(cfg, split="train", norm_stats=D.NORM_STATS["nsynth"],
+                            data_dir=data_dir, seed=cfg.seed)
     if ds == "synthetic":
         return D.SyntheticLMS(
             cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
