@@ -113,7 +113,9 @@ class ViTModelWrapper:
 
     def encode(self, batch_audio: np.ndarray) -> jnp.ndarray:
         x = self.to_feature(batch_audio)
-        mu, sigma = float(x.mean()), float(x.std())
+        # reference _normalize_batch (vit.py:100-103) uses torch .std(),
+        # which is the UNBIASED estimator -> ddof=1
+        mu, sigma = float(x.mean()), float(x.std(ddof=1))
         x = (x - mu) / sigma
         return self.encode_lms(x)
 

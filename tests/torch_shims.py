@@ -88,3 +88,117 @@ def install_timm_shim():
 
     if not hasattr(np, "float"):
         np.float = float  # noqa: NPY001
+
+
+def install_torchaudio_shim():
+    """torchaudio.transforms.MelSpectrogram built from its documented
+    algorithm (torch.stft center/reflect/periodic-hann + HTK mel filterbank,
+    norm=None, power=2) — torchaudio itself is not installed here.  Same
+    oracle construction as tests/test_mel.py."""
+    if "torchaudio" in sys.modules:
+        return
+    import numpy as np
+
+    class MelSpectrogram(nn.Module):
+        def __init__(self, sample_rate=16000, n_fft=400, win_length=None,
+                     hop_length=None, f_min=0.0, f_max=None, n_mels=128,
+                     power=2.0, **_ignored):
+            super().__init__()
+            self.sample_rate = sample_rate
+            self.n_fft = n_fft
+            self.win_length = win_length or n_fft
+            self.hop_length = hop_length or self.win_length // 2
+            self.power = power
+            f_max = f_max if f_max is not None else sample_rate / 2.0
+            n_freqs = n_fft // 2 + 1
+
+            def to_mel(f):
+                return 2595.0 * np.log10(1.0 + f / 700.0)
+
+            def from_mel(m):
+                return 700.0 * (10 ** (m / 2595.0) - 1.0)
+
+            freqs = np.linspace(0, sample_rate / 2, n_freqs)
+            mels = np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2)
+            fpts = from_mel(mels)
+            fb = np.zeros((n_freqs, n_mels), np.float32)
+            for m in range(n_mels):
+                lo, ce, hi = fpts[m], fpts[m + 1], fpts[m + 2]
+                up = (freqs - lo) / (ce - lo)
+                down = (hi - freqs) / (hi - ce)
+                fb[:, m] = np.clip(np.minimum(up, down), 0, None)
+            self.register_buffer("fb", torch.from_numpy(fb))
+            self.register_buffer(
+                "window", torch.hann_window(self.win_length, periodic=True)
+            )
+
+        def forward(self, wav):
+            st = torch.stft(
+                wav, n_fft=self.n_fft, hop_length=self.hop_length,
+                win_length=self.win_length, window=self.window, center=True,
+                pad_mode="reflect", normalized=False, onesided=True,
+                return_complex=True,
+            )
+            spec = st.abs() ** self.power                  # (..., F, T)
+            return torch.matmul(
+                spec.transpose(-1, -2), self.fb
+            ).transpose(-1, -2)                            # (..., n_mels, T)
+
+    ta = types.ModuleType("torchaudio")
+    transforms = types.ModuleType("torchaudio.transforms")
+    transforms.MelSpectrogram = MelSpectrogram
+    ta.transforms = transforms
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.transforms"] = transforms
+
+
+def install_easydict_shim():
+    if "easydict" in sys.modules:
+        return
+    try:
+        import easydict  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+
+    class EasyDict(dict):
+        def __init__(self, d=None, **kw):
+            super().__init__()
+            for k, v in {**(d or {}), **kw}.items():
+                self[k] = EasyDict(v) if isinstance(v, dict) else v
+                setattr(self, k, self[k])
+
+        def get(self, k, default=None):
+            return dict.get(self, k, default)
+
+    ed = types.ModuleType("easydict")
+    ed.EasyDict = EasyDict
+    sys.modules["easydict"] = ed
+
+
+def import_reference_hear(modname: str):
+    """Import a module from the reference's `hear` namespace package (e.g.
+    "hear.sample.vit").  The repo's own regular `hear` package would win the
+    import-system race, so the reference tree is wired in via synthetic
+    package objects for the duration of the import."""
+    install_timm_shim()
+    install_torchaudio_shim()
+    install_easydict_shim()
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "hear" or k.startswith("hear.")}
+    sys.path.insert(0, "/root/reference")
+    try:
+        pkg = types.ModuleType("hear")
+        pkg.__path__ = ["/root/reference/hear"]
+        sys.modules["hear"] = pkg
+        sub = types.ModuleType("hear.sample")
+        sub.__path__ = ["/root/reference/hear/sample"]
+        sys.modules["hear.sample"] = sub
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove("/root/reference")
+        for k in list(sys.modules):
+            if k == "hear" or k.startswith("hear."):
+                del sys.modules[k]
+        sys.modules.update(saved)
