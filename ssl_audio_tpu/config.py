@@ -27,6 +27,7 @@ DATASETS = [
     "fsd50k+librispeech",
     "audioset+librispeech",
     "nsynth",         # NSynth-50h HEAR task (reference sweep dataset, sweep.py:369-402)
+    "audioset_wav",   # wav-domain AudioSet (reference old/data_manager/audioset.py)
     "cifar10",
     "synthetic",      # extension: host-free random log-mels for smoke/bench runs
     "synthetic_wav",  # extension: raw waveforms for the on-device-frontend mode
@@ -132,6 +133,10 @@ class Config:
     synthetic_len: int = 12800
     # write a jax.profiler trace of training steps 10-20 here (empty = off)
     profile_dir: str = ""
+    # wav-domain AudioSet selection (reference old/configs data.audioset.*
+    # + AudioSet(balanced_only/test), old/data_manager/audioset.py:41-110)
+    audioset_balanced_only: bool = False
+    audioset_200k_only: bool = False
 
     def __post_init__(self):
         if isinstance(self.local_crops_size, tuple):
@@ -240,6 +245,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_steps_per_epoch", type=int, default=100)
     p.add_argument("--synthetic_len", type=int, default=12800)
     p.add_argument("--profile_dir", type=str, default="")
+    p.add_argument("--audioset_balanced_only", action="store_true", default=False)
+    p.add_argument("--audioset_200k_only", action="store_true", default=False)
     return p
 
 

@@ -286,6 +286,88 @@ class AudioSet(_LMSDatasetBase):
         return self._finalize(lms), y
 
 
+class AudioSetWav:
+    """Wav-domain AudioSet (reference old/data_manager/audioset.py:41-212):
+    CSV-driven balanced/unbalanced/eval segment selection with the 200k cap,
+    stereo->mono decode, zero-pad both ends + random unit-length crop.
+
+    Returns raw (unit_length,) float32 waveforms + multi-hot labels; the
+    reference's host-side mel/normalize/n-views (audioset.py:160-212) run on
+    device instead — the train step's frontend (make_device_frontend) does
+    mel+crop+normalize and make_views builds both views, so one wav upload
+    replaces n_views host-side spectrogram copies."""
+
+    returns_wav = True
+
+    def __init__(self, cfg, base_dir="data/audioset", balanced_only=False,
+                 test=False, twohundredk_only=False, cap=int(2e5), seed=0):
+        self.cfg = cfg
+        self.base_dir = base_dir
+        self.unit_length = int(cfg.unit_sec * cfg.sample_rate)
+        self.rng = np.random.default_rng(seed)
+
+        def read(name):
+            path = os.path.join(base_dir, name)
+            with open(path) as f:
+                return [row for row in csv.reader(f) if row]
+
+        if test:
+            rows = read("eval_segments-downloaded.csv")
+        elif balanced_only:
+            rows = read("balanced_train_segments-downloaded.csv")
+        else:
+            rows = (read("unbalanced_train_segments-downloaded.csv")
+                    + read("balanced_train_segments-downloaded.csv"))
+            if twohundredk_only:
+                rows = rows[:cap]
+        self.audio_fnames = [r[0] for r in rows]
+        self.labels = [r[1] for r in rows]
+        self.ident = [r[2] for r in rows]
+
+        # reference old make_index_dict uses column 'mid'
+        # (audioset.py:30-37); the active tree renamed it 'mids'
+        self.index_dict = {}
+        with open(os.path.join(base_dir, "class_labels_indices.csv")) as f:
+            for row in csv.DictReader(f):
+                mid = row.get("mid", row.get("mids"))
+                self.index_dict[mid] = row["index"]
+        self.label_num = len(self.index_dict)
+
+    def __len__(self):
+        return len(self.audio_fnames)
+
+    def __getitem__(self, idx):
+        y = np.zeros(self.label_num, np.float32)
+        for s in self.labels[idx].split("#"):
+            if s:
+                y[int(self.index_dict[s])] = 1.0
+        wav_path = os.path.join(
+            self.base_dir, self.ident[idx], f"{self.audio_fnames[idx]}.wav"
+        )
+        from scipy.io import wavfile
+
+        sr, wav = wavfile.read(wav_path)
+        assert sr == self.cfg.sample_rate, (
+            f"Convert .wav files to {self.cfg.sample_rate} Hz. "
+            f"{self.audio_fnames[idx]}.wav has {sr} Hz."
+        )
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        elif wav.dtype == np.int32:
+            wav = wav.astype(np.float32) / 2147483648.0
+        else:
+            wav = wav.astype(np.float32)
+        if wav.ndim == 2:                        # stereo -> mono
+            wav = wav.mean(axis=1)
+        adj = self.unit_length - len(wav)
+        if adj > 0:                              # zero pad both ends
+            half = adj // 2
+            wav = np.pad(wav, (half, adj - half))
+        adj = len(wav) - self.unit_length        # random unit-length crop
+        start = int(self.rng.integers(0, adj + 1)) if adj > 0 else 0
+        return wav[start : start + self.unit_length].astype(np.float32), y
+
+
 class SyntheticLMS:
     """Random log-mel clips for smoke tests and benches (no reference
     equivalent; enabled by --dataset synthetic)."""

@@ -61,6 +61,12 @@ def get_train_dataset(cfg, data_dir="data"):
             D.LibriSpeech(cfg, norm_stats=D.NORM_STATS["librispeech"],
                           n_dummy=527, data_dir=data_dir, seed=cfg.seed),
         ])
+    if ds == "audioset_wav":
+        return D.AudioSetWav(
+            cfg, base_dir=os.path.join(data_dir, "audioset"),
+            balanced_only=cfg.audioset_balanced_only,
+            twohundredk_only=cfg.audioset_200k_only, seed=cfg.seed,
+        )
     if ds == "nsynth":
         return D.NSynthHEAR(cfg, split="train", norm_stats=D.NORM_STATS["nsynth"],
                             data_dir=data_dir, seed=cfg.seed)
