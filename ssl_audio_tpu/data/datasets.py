@@ -372,12 +372,16 @@ class SyntheticLMS:
     """Random log-mel clips for smoke tests and benches (no reference
     equivalent; enabled by --dataset synthetic)."""
 
-    def __init__(self, cfg, length: Optional[int] = None, n_classes=10, seed=0):
+    def __init__(self, cfg, length: Optional[int] = None, n_classes=10, seed=0,
+                 env_gain=2.0, env_width=0.08, noise=0.5):
         self.cfg = cfg
         self.length = length if length is not None else cfg.synthetic_len
         self.n_classes = n_classes
         self.seed = seed
         self.label_num = n_classes
+        self.env_gain = env_gain
+        self.env_width = env_width
+        self.noise = noise
 
     def __len__(self):
         return self.length
@@ -385,11 +389,15 @@ class SyntheticLMS:
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         cls = idx % self.n_classes
-        # class-dependent spectral envelope so probes have signal
+        # class-dependent spectral envelope so probes have signal; env_gain/
+        # env_width/noise control task difficulty (low gain + wide overlap +
+        # heavy noise makes random-feature probes fail, for learning proofs)
         mel_axis = np.linspace(0, 1, self.cfg.n_mels)[:, None]
-        env = np.exp(-0.5 * ((mel_axis - (cls + 0.5) / self.n_classes) / 0.08) ** 2)
+        env = np.exp(
+            -0.5 * ((mel_axis - (cls + 0.5) / self.n_classes) / self.env_width) ** 2
+        )
         lms = rng.standard_normal((1, self.cfg.n_mels, self.cfg.crop_frames)).astype(np.float32)
-        lms = lms * 0.5 + 2.0 * env[None].astype(np.float32)
+        lms = lms * self.noise + self.env_gain * env[None].astype(np.float32)
         y = np.zeros(self.n_classes, np.float32)
         y[cls] = 1.0
         return lms, y

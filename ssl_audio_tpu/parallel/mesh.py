@@ -19,13 +19,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def init_distributed(cfg) -> None:
     """Multi-host initialization (reference init_distributed_mode,
     utils.py:335-361): with --distributed, join the jax.distributed
-    coordinator (env-driven: COORDINATOR_ADDRESS / process ids, or
-    auto-detected on TPU pods).  Single-process runs are untouched."""
+    coordinator.  Auto-detected on TPU pods / SLURM; on generic clusters set
+    JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES + JAX_PROCESS_ID (the analog
+    of the reference's MASTER_ADDR/WORLD_SIZE/RANK envs).  Single-process
+    runs are untouched."""
     if not getattr(cfg, "distributed", False):
         return
+    import os
+
     import jax
 
-    jax.distributed.initialize()
+    kw = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kw)
     print(
         f"[process {jax.process_index()}/{jax.process_count()}] "
         f"{jax.local_device_count()} local / {jax.device_count()} global devices"

@@ -104,13 +104,13 @@ def mask_ratio_for_step(cfg, schedule, iteration: int, rng: np.random.Generator,
 
 class Trainer:
     def __init__(self, cfg, byol: bool = False, data_dir: str = "data",
-                 log_dir: Optional[str] = None, wandb_run=None):
+                 log_dir: Optional[str] = None, wandb_run=None, dataset=None):
         self.cfg = cfg
         self.byol = byol
         self.data_dir = data_dir
         self.wandb_run = wandb_run
 
-        self.dataset = get_train_dataset(cfg, data_dir)
+        self.dataset = dataset if dataset is not None else get_train_dataset(cfg, data_dir)
         self.loader = DataLoader(
             self.dataset, cfg.batch_size, shuffle=True, drop_last=True,
             num_workers=cfg.num_workers, seed=cfg.seed,
@@ -186,7 +186,8 @@ class Trainer:
         t_data = t_step = 0.0
         tflag = time.time()
         for it, (lms, _labels) in enumerate(self.loader):
-            t_data += time.time() - tflag
+            dt_i = time.time() - tflag
+            t_data += dt_i
             iteration = self.niter_per_ep * (epoch - 1) + it
             # optional jax.profiler trace of steps 10-20 of the first epoch
             # (SURVEY.md §5 tracing; view with TensorBoard/XProf)
@@ -211,9 +212,16 @@ class Trainer:
             if it % 50 == 0:
                 self._check_monitor(monitor)
                 loss_val = float(metrics["loss"])
+                # per-step timing split (reference main.py:44-156 tqdm
+                # segments data/forward/backward; under one fused jit the
+                # forward+backward are a single device program, so the split
+                # here is data_time vs step_time, where step_time at a sync
+                # point covers dispatch + the device compute drained by it)
+                st_i = time.time() - tflag
                 if self.logger is not None:
                     self.logger.info(
-                        "epoch,{},step,{},loss,{}".format(epoch, iteration, loss_val)
+                        "epoch,{},step,{},loss,{},data_time,{:.4f},step_time,{:.4f}"
+                        .format(epoch, iteration, loss_val, dt_i, st_i)
                     )
                 if self.wandb_run is not None:
                     self.wandb_run.log({"Loss": loss_val})
