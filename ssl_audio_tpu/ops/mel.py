@@ -189,37 +189,47 @@ def frame_signal(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
 # The DFT-as-GEMM must accumulate in fp32 on the MXU: at the TPU default
 # (single-pass bf16) the cancellation in high-frequency bins costs ~1e-1
 # relative error; at HIGHEST (multi-pass fp32) it is ~4e-6 (measured on v5e).
+# HIGH (3-pass bf16) measured 1.5e-4 max log-mel error at ~1.4x the speed —
+# exposed as fast=True for contracts that tolerate it (offline conversion,
+# feature extraction), PERF.md "known inefficiencies".
 _PREC = jax.lax.Precision.HIGHEST
+_PREC_FAST = jax.lax.Precision.HIGH
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def power_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+def _prec(fast: bool):
+    return _PREC_FAST if fast else _PREC
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def power_spectrogram(wav: jnp.ndarray, spec: MelSpec, fast: bool = False) -> jnp.ndarray:
     """(..., L) -> (..., n_freqs, T) power spectrogram via windowed-DFT GEMMs."""
     frames = frame_signal(wav, spec)                               # (..., T, n_fft)
     C, S = spec.dft_matrices
-    re = jnp.matmul(frames, jnp.asarray(C), precision=_PREC)       # (..., T, n_freqs)
-    im = jnp.matmul(frames, jnp.asarray(S), precision=_PREC)
+    p = _prec(fast)
+    re = jnp.matmul(frames, jnp.asarray(C), precision=p)           # (..., T, n_freqs)
+    im = jnp.matmul(frames, jnp.asarray(S), precision=p)
     power = re * re + im * im
     return jnp.swapaxes(power, -1, -2)                             # (..., n_freqs, T)
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def mel_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def mel_spectrogram(wav: jnp.ndarray, spec: MelSpec, fast: bool = False) -> jnp.ndarray:
     """(..., L) -> (..., n_mels, T) mel power spectrogram."""
     frames = frame_signal(wav, spec)                               # (..., T, n_fft)
     C, S = spec.dft_matrices_mel
-    re = jnp.matmul(frames, jnp.asarray(C), precision=_PREC)
-    im = jnp.matmul(frames, jnp.asarray(S), precision=_PREC)
+    p = _prec(fast)
+    re = jnp.matmul(frames, jnp.asarray(C), precision=p)
+    im = jnp.matmul(frames, jnp.asarray(S), precision=p)
     power = re * re + im * im                                      # (..., T, n_used)
-    mel = jnp.matmul(power, jnp.asarray(spec.filterbank_mel), precision=_PREC)
+    mel = jnp.matmul(power, jnp.asarray(spec.filterbank_mel), precision=p)
     return jnp.swapaxes(mel, -1, -2)
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def log_mel_spectrogram(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def log_mel_spectrogram(wav: jnp.ndarray, spec: MelSpec, fast: bool = False) -> jnp.ndarray:
     """(..., L) -> (..., n_mels, T) log-mel, the reference's
     (melspec(wav) + torch.finfo().eps).log()."""
-    return jnp.log(mel_spectrogram(wav, spec) + TORCH_FLOAT32_EPS)
+    return jnp.log(mel_spectrogram(wav, spec, fast) + TORCH_FLOAT32_EPS)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3))

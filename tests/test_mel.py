@@ -125,3 +125,12 @@ def test_cropped_log_mel_matches_full(spec, rng):
     crop = np.asarray(log_mel_spectrogram_cropped(wav, spec, starts, 96))
     for b, s in enumerate(np.asarray(starts)):
         np.testing.assert_allclose(crop[b], full[b, :, s : s + 96], atol=1e-5)
+
+
+def test_fast_mode_close_to_exact(spec, rng):
+    """fast=True (Precision.HIGH, 3-pass bf16 on TPU) must stay within the
+    documented 1.5e-4 band of the HIGHEST path (identical on CPU)."""
+    wav = (0.5 * rng.standard_normal((2, 15200))).astype(np.float32)
+    exact = np.asarray(log_mel_spectrogram(wav, spec))
+    fast = np.asarray(log_mel_spectrogram(wav, spec, True))
+    np.testing.assert_allclose(fast, exact, atol=5e-4)

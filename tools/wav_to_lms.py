@@ -34,6 +34,9 @@ def main(argv=None):
                    help="pad/bucket length for batched device conversion")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--workers", type=int, default=16)
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="HIGH-precision (3-pass bf16) DFT: ~1.4x faster, "
+                        "1.5e-4 max log-mel error vs the fp32 path")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -73,7 +76,9 @@ def main(argv=None):
             if not g:
                 return
             paths_g, wavs_g = zip(*g)
-            lms = np.asarray(log_mel_spectrogram(jnp.asarray(np.stack(wavs_g)), spec))
+            lms = np.asarray(
+                log_mel_spectrogram(jnp.asarray(np.stack(wavs_g)), spec, args.fast)
+            )
             for path, l in zip(paths_g, lms):
                 rel = os.path.relpath(path, args.in_dir)
                 out = os.path.join(args.out_dir, os.path.splitext(rel)[0] + ".npy")
