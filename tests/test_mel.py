@@ -134,3 +134,17 @@ def test_fast_mode_close_to_exact(spec, rng):
     exact = np.asarray(log_mel_spectrogram(wav, spec))
     fast = np.asarray(log_mel_spectrogram(wav, spec, True))
     np.testing.assert_allclose(fast, exact, atol=5e-4)
+
+
+def test_pallas_fused_kernel_parity(spec, rng):
+    """Fused framing+DFT+mel+log Pallas kernel == the XLA path (interpret
+    mode off-TPU; the real-TPU measured parity is recorded in PERF.md)."""
+    import jax.numpy as jnp
+
+    from ssl_audio_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
+
+    wav = (0.3 * rng.standard_normal((2, 32000))).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(wav), spec))
+    out = np.asarray(log_mel_spectrogram_pallas(jnp.asarray(wav), spec))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -1,0 +1,119 @@
+"""Training-step efficiency: ms/step, achieved FLOP/s and MFU for the full
+Barlow-Twins update, with a batch-size sweep (VERDICT r1 #6; the reference
+publishes no equivalent — BASELINE.json's steps/sec @ ViT-B is the metric).
+
+Methodology (PERF.md): N steps inside ONE lax.scan threading the TrainState,
+scalar loss-sum fetched to host as the barrier — dispatch-loop timing lies on
+this backend.  FLOPs come from XLA's own cost analysis of the compiled scan
+(logical FLOPs; MFU = logical FLOP/s / peak bf16 FLOP/s).
+
+    python tools/mfu.py --models vit_base audiontt --batches 128 256
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# peak dense bf16 FLOP/s per chip (MXU); override with --peak_tflops
+PEAK_TFLOPS = {"tpu": 197.0, "cpu": 1.0}  # v5e: 197 TF bf16
+
+
+def measure(model_type: str, batch_size: int, n_steps: int = 10,
+            use_fp16: bool = False, reps: int = 3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from ssl_audio_tpu.config import default_config
+    from ssl_audio_tpu.train.state import init_train_state
+    from ssl_audio_tpu.train.steps import make_train_step
+
+    cfg = default_config(
+        model_type=model_type, batch_size=batch_size, mask=True,
+        random_mask_ratio=False, mask_ratio=0.3 if "vit" in model_type else 0.0,
+        use_fp16=use_fp16,
+    )
+    mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
+    step = make_train_step(mods, donate=False)
+
+    def scanned(state, batch, key):
+        def body(st, i):
+            new_st, metrics = step(
+                st, batch, jax.random.fold_in(key, i),
+                jnp.float32(cfg.mask_ratio),
+            )
+            return new_st, metrics["loss"]
+
+        final, losses = lax.scan(body, state, jnp.arange(n_steps))
+        return losses.sum()
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.standard_normal((batch_size, 1, cfg.n_mels, cfg.crop_frames))
+        .astype(np.float32)
+    )
+
+    f = jax.jit(scanned)
+    lowered = f.lower(state, batch, jax.random.key(1))
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    flops_per_step = float(cost.get("flops", -1.0)) / n_steps
+
+    t0 = time.time()
+    a = float(compiled(state, batch, jax.random.key(1)))
+    warmup = time.time() - t0
+    best = float("inf")
+    for rep in range(reps):
+        t0 = time.time()
+        b = float(compiled(state, batch, jax.random.key(rep + 2)))
+        best = min(best, (time.time() - t0) / n_steps)
+        assert b != a
+    return {
+        "model": model_type, "batch": batch_size,
+        "use_fp16": use_fp16,
+        "ms_per_step": round(best * 1e3, 2),
+        "steps_per_sec": round(1.0 / best, 2),
+        "samples_per_sec": round(batch_size / best, 1),
+        "gflops_per_step": round(flops_per_step / 1e9, 1),
+        "achieved_tflops": round(flops_per_step / best / 1e12, 2),
+        "warmup_s": round(warmup, 1),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="+", default=["vit_base", "audiontt"])
+    p.add_argument("--batches", nargs="+", type=int, default=[128])
+    p.add_argument("--n_steps", type=int, default=10)
+    p.add_argument("--use_fp16", action="store_true", default=False)
+    p.add_argument("--peak_tflops", type=float, default=None)
+    p.add_argument("--out", type=str, default="mfu_results.json")
+    args = p.parse_args(argv)
+
+    import jax
+
+    backend = jax.default_backend()
+    peak = args.peak_tflops or PEAK_TFLOPS.get(backend, 197.0)
+    print(f"backend={backend} peak={peak} TFLOP/s (bf16)")
+
+    rows = []
+    for model in args.models:
+        for b in args.batches:
+            r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16)
+            r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
+            rows.append(r)
+            print(json.dumps(r))
+    with open(args.out, "w") as f:
+        json.dump({"backend": backend, "peak_tflops": peak, "rows": rows}, f,
+                  indent=2)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
