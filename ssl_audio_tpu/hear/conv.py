@@ -24,9 +24,14 @@ from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
 
 
 class ConvModelWrapper:
-    def __init__(self, cfg, model_type: str, model_file_path: str):
+    def __init__(self, cfg, model_type: str, model_file_path: str,
+                 fast_mel: bool = False):
         self.cfg = cfg
         self.sample_rate = cfg.sample_rate
+        # fast_mel: HIGH-precision (3-pass bf16) DFT for the feature
+        # extraction contract — 1.5e-4 max log-mel error, measurably faster
+        # on the timestamp path (PERF.md); exact HIGHEST otherwise
+        self.fast_mel = fast_mel
         if model_type == "resnet50":
             self.model = resnet_lib.resnet50()
         elif model_type == "resnet50_ReGP_NRF":
@@ -83,7 +88,9 @@ class ConvModelWrapper:
         return self._apply(self.variables, lms)
 
     def to_feature(self, batch_audio: np.ndarray) -> jnp.ndarray:
-        return log_mel_spectrogram(jnp.asarray(batch_audio), self.mel)[:, None]
+        return log_mel_spectrogram(
+            jnp.asarray(batch_audio), self.mel, self.fast_mel
+        )[:, None]
 
     def to(self, device):
         return self
@@ -96,9 +103,10 @@ def load_model(
     model_file_path: str = "",
     model_type: str = "audiontt",
     cfg_path: str = "hear/config.yaml",
+    fast_mel: bool = False,
 ) -> ConvModelWrapper:
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
-    return ConvModelWrapper(cfg, model_type, model_file_path)
+    return ConvModelWrapper(cfg, model_type, model_file_path, fast_mel=fast_mel)
 
 
 def get_timestamp_embeddings(
