@@ -4,8 +4,13 @@ publishes no equivalent — BASELINE.json's steps/sec @ ViT-B is the metric).
 
 Methodology (PERF.md): N steps inside ONE lax.scan threading the TrainState,
 scalar loss-sum fetched to host as the barrier — dispatch-loop timing lies on
-this backend.  FLOPs come from XLA's own cost analysis of the compiled scan
-(logical FLOPs; MFU = logical FLOP/s / peak bf16 FLOP/s).
+this backend.  Two scan lengths (N and 2N) are timed and the per-step time is
+the SLOPE (t_2N - t_N) / N, which cancels the fixed per-call dispatch+fetch
+overhead of the remote tunnel (~10-40 ms/call).  FLOPs come from XLA's cost
+analysis of ONE un-scanned compiled step — cost_analysis() counts a scan body
+once regardless of trip count, so analysing the scan and dividing by N
+undercounts by N (measured: a 10-iteration matmul scan reports exactly one
+matmul's FLOPs).  MFU = logical FLOP/s / peak bf16 FLOP/s.
 
     python tools/mfu.py --models vit_base audiontt --batches 128 256
 """
@@ -42,16 +47,19 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     step = make_train_step(mods, donate=False)
 
-    def scanned(state, batch, key):
-        def body(st, i):
-            new_st, metrics = step(
-                st, batch, jax.random.fold_in(key, i),
-                jnp.float32(cfg.mask_ratio),
-            )
-            return new_st, metrics["loss"]
+    def make_scanned(n):
+        def scanned(state, batch, key):
+            def body(st, i):
+                new_st, metrics = step(
+                    st, batch, jax.random.fold_in(key, i),
+                    jnp.float32(cfg.mask_ratio),
+                )
+                return new_st, metrics["loss"]
 
-        final, losses = lax.scan(body, state, jnp.arange(n_steps))
-        return losses.sum()
+            final, losses = lax.scan(body, state, jnp.arange(n))
+            return losses.sum()
+
+        return jax.jit(scanned)
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
@@ -59,30 +67,41 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
         .astype(np.float32)
     )
 
-    f = jax.jit(scanned)
-    lowered = f.lower(state, batch, jax.random.key(1))
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
-    flops_per_step = float(cost.get("flops", -1.0)) / n_steps
+    # per-step logical FLOPs from ONE un-scanned step (see module docstring).
+    # The new state MUST be a live output — returning only the loss lets XLA
+    # dead-code-eliminate the entire backward pass + optimizer update
+    # (measured: loss-only lowering reports ~1/3 the FLOPs, i.e. forward only).
+    one = jax.jit(lambda st, b, k: step(st, b, k, jnp.float32(cfg.mask_ratio)))
+    cost = one.lower(state, batch, jax.random.key(1)).compile().cost_analysis() or {}
+    flops_per_step = float(cost.get("flops", -1.0))
 
-    t0 = time.time()
-    a = float(compiled(state, batch, jax.random.key(1)))
-    warmup = time.time() - t0
-    best = float("inf")
-    for rep in range(reps):
+    def time_scan(n):
+        f = make_scanned(n)
         t0 = time.time()
-        b = float(compiled(state, batch, jax.random.key(rep + 2)))
-        best = min(best, (time.time() - t0) / n_steps)
-        assert b != a
+        a = float(f(state, batch, jax.random.key(1)))
+        warmup = time.time() - t0
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.time()
+            b = float(f(state, batch, jax.random.key(rep + 2)))
+            best = min(best, time.time() - t0)
+            assert b != a
+        return best, warmup
+
+    t_n, warm1 = time_scan(n_steps)
+    t_2n, warm2 = time_scan(2 * n_steps)
+    per_step = (t_2n - t_n) / n_steps          # overhead-free slope
+    call_overhead = t_n - n_steps * per_step   # fixed dispatch+fetch cost
     return {
         "model": model_type, "batch": batch_size,
         "use_fp16": use_fp16,
-        "ms_per_step": round(best * 1e3, 2),
-        "steps_per_sec": round(1.0 / best, 2),
-        "samples_per_sec": round(batch_size / best, 1),
+        "ms_per_step": round(per_step * 1e3, 2),
+        "steps_per_sec": round(1.0 / per_step, 2),
+        "samples_per_sec": round(batch_size / per_step, 1),
+        "call_overhead_ms": round(call_overhead * 1e3, 1),
         "gflops_per_step": round(flops_per_step / 1e9, 1),
-        "achieved_tflops": round(flops_per_step / best / 1e12, 2),
-        "warmup_s": round(warmup, 1),
+        "achieved_tflops": round(flops_per_step / per_step / 1e12, 2),
+        "warmup_s": round(warm1 + warm2, 1),
     }
 
 
