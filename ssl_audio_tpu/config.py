@@ -100,6 +100,11 @@ class Config:
     random_mask_ratio: bool = False
     mask_ratio_schedule: bool = False
     mask_beta: float = 0.3
+    # ViT masked forwards drop tokens (the reference's own compute shape,
+    # mae.py:330-346) instead of key-bias masking; identical outputs, less
+    # compute.  Each distinct len_keep = int(L*(1-ratio)) compiles once
+    # (bounded by L values); disable if recompiles hurt more than they save.
+    token_drop: bool = True
     use_learned_pos_embd: bool = False
     use_cls: bool = True
     use_mean_pool: bool = False
@@ -222,6 +227,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--random_mask_ratio", action="store_true", default=False)
     p.add_argument("--mask_ratio_schedule", action="store_true", default=False)
     p.add_argument("--mask_beta", type=float, default=0.3)
+    p.add_argument("--no_token_drop", dest="token_drop", action="store_false",
+                   default=True)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
     p.add_argument("--use_cls", action="store_true", default=True)
     p.add_argument("--use_mean_pool", action="store_true", default=False)

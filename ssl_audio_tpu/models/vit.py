@@ -337,7 +337,20 @@ class MaskedAutoencoderViT(nn.Module):
 
     # ---- forward ---------------------------------------------------------
     def prepare_tokens(self, x: jnp.ndarray, mask_ratio, mask: Optional[jnp.ndarray],
-                       train: bool = True):
+                       train: bool = True, len_keep: Optional[int] = None):
+        """Returns (tokens_with_cls, mask, key_bias, ids_keep).
+
+        Two equivalent maskings of the same per-sample random token set
+        (reference random_masking, mae.py:330-346):
+        - key-bias (default): all L tokens kept, masked keys get a -inf
+          attention bias.  Works with a TRACED mask_ratio (schedules).
+        - token-drop (`len_keep` static int, = int(L*(1-mask_ratio)) exactly
+          as the reference computes it): masked tokens are gathered OUT, so
+          the blocks run on 1+len_keep tokens — the reference's own compute
+          shape.  Kept-token outputs are identical to the key-bias path under
+          the same 'mask' rng stream (attention over visible keys only is the
+          same computation); this is the fast path for the teacher forward.
+        """
         B, C, F, T = x.shape
         if self.spec.conv_stem:
             tokens = self.patch_embed(x, train=train)
@@ -347,25 +360,36 @@ class MaskedAutoencoderViT(nn.Module):
         pe = self._pos_embed_for(F, T)
         tokens = tokens + pe[:, 1:, :]
 
-        if mask is None:
-            is_scalar_zero = isinstance(mask_ratio, (int, float)) and mask_ratio == 0
-            if is_scalar_zero:
-                mask = jnp.zeros((B, L))
-            else:
-                mask = random_token_mask(self.make_rng("mask"), B, L, mask_ratio)
-        key_bias = (mask * NEG_INF)[:, None, None, :]          # (B,1,1,L)
-        key_bias = jnp.pad(key_bias, ((0, 0), (0, 0), (0, 0), (1, 0)))  # cls visible
+        ids_keep = None
+        if mask is None and len_keep is not None and 0 <= len_keep < L:
+            noise = jax.random.uniform(self.make_rng("mask"), (B, L))
+            ids_shuffle = jnp.argsort(noise, axis=1)
+            ranks = jnp.argsort(ids_shuffle, axis=1)
+            mask = (ranks >= len_keep).astype(jnp.float32)
+            ids_keep = ids_shuffle[:, :len_keep]
+            tokens = jnp.take_along_axis(tokens, ids_keep[..., None], axis=1)
+            key_bias = None
+        else:
+            if mask is None:
+                is_scalar_zero = isinstance(mask_ratio, (int, float)) and mask_ratio == 0
+                if is_scalar_zero:
+                    mask = jnp.zeros((B, L))
+                else:
+                    mask = random_token_mask(self.make_rng("mask"), B, L, mask_ratio)
+            key_bias = (mask * NEG_INF)[:, None, None, :]      # (B,1,1,L)
+            key_bias = jnp.pad(key_bias, ((0, 0), (0, 0), (0, 0), (1, 0)))  # cls visible
 
         cls = self.cls_token + pe[:, :1, :]
         tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], axis=1)
-        return tokens, mask, key_bias
+        return tokens, mask, key_bias, ids_keep
 
-    def forward_encoder(self, x, mask_ratio, mask, train):
-        tokens, out_mask, key_bias = self.prepare_tokens(x, mask_ratio, mask, train)
+    def forward_encoder(self, x, mask_ratio, mask, train, len_keep=None):
+        tokens, out_mask, key_bias, ids_keep = self.prepare_tokens(
+            x, mask_ratio, mask, train, len_keep)
         for blk in self.blocks:
             tokens = blk(tokens, key_bias, train=train)
         tokens = self.norm(tokens)
-        return tokens, out_mask
+        return tokens, out_mask, ids_keep
 
     def forward_decoder(self, tokens: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """tokens: (B, 1+L, D) encoder output; mask: (B, L) 1=removed.
@@ -401,21 +425,37 @@ class MaskedAutoencoderViT(nn.Module):
         masked_recon: bool = False,
         mask: Optional[jnp.ndarray] = None,
         train: bool = True,
+        len_keep: Optional[int] = None,
     ):
-        tokens, out_mask = self.forward_encoder(imgs, mask_ratio, mask, train)
+        tokens, out_mask, ids_keep = self.forward_encoder(
+            imgs, mask_ratio, mask, train, len_keep)
         if return_all:
             latent = tokens
         elif mean_pool:
-            # NOTE: with masking active the reference mean-pools visible
-            # tokens only (they are the only ones present); replicate by
-            # weighting with (1 - mask)
-            w = 1.0 - out_mask
-            latent = (tokens[:, 1:] * w[..., None]).sum(1) / jnp.maximum(
-                w.sum(1, keepdims=True), 1.0
-            )
+            if ids_keep is not None:
+                # token-drop path: every non-cls token is visible by
+                # construction — plain mean, exactly the reference's
+                # x[:, 1:].mean(dim=1) over present tokens
+                latent = tokens[:, 1:].mean(axis=1)
+            else:
+                # NOTE: with masking active the reference mean-pools visible
+                # tokens only (they are the only ones present); replicate by
+                # weighting with (1 - mask)
+                w = 1.0 - out_mask
+                latent = (tokens[:, 1:] * w[..., None]).sum(1) / jnp.maximum(
+                    w.sum(1, keepdims=True), 1.0
+                )
         else:
             latent = tokens[:, 0]
         if masked_recon:
+            if ids_keep is not None:
+                # scatter kept encodings back to full length; masked slots
+                # hold zeros but are replaced by the mask token in
+                # forward_decoder, so their content never matters
+                B, L = out_mask.shape
+                full = jnp.zeros((B, L, tokens.shape[-1]), tokens.dtype)
+                full = full.at[jnp.arange(B)[:, None], ids_keep].set(tokens[:, 1:])
+                tokens = jnp.concatenate([tokens[:, :1], full], axis=1)
             pred = self.forward_decoder(tokens, out_mask)
             return latent, self.forward_loss(imgs, pred, out_mask)
         return latent
@@ -424,7 +464,7 @@ class MaskedAutoencoderViT(nn.Module):
         """Reconstruction visualization (reference forward_viz,
         mae.py:471-480): returns (loss, recons, errormap, mask_grid) with
         visible patches copied from the input."""
-        tokens, mask = self.forward_encoder(imgs, mask_ratio, None, train)
+        tokens, mask, _ = self.forward_encoder(imgs, mask_ratio, None, train)
         pred = self.forward_decoder(tokens, mask)
         loss = self.forward_loss(imgs, pred, mask)
         target = self.patchify(imgs)
@@ -436,7 +476,7 @@ class MaskedAutoencoderViT(nn.Module):
 
     def forward_attn(self, imgs: jnp.ndarray, mask_ratio=0, train: bool = False):
         """Stacked per-block attention maps (mae.py:482-489)."""
-        tokens, _, key_bias = self.prepare_tokens(imgs, mask_ratio, None, train)
+        tokens, _, key_bias, _ = self.prepare_tokens(imgs, mask_ratio, None, train)
         attns = []
         for blk in self.blocks:
             attns.append(blk(tokens, key_bias, train=train, return_attention=True))
@@ -444,7 +484,7 @@ class MaskedAutoencoderViT(nn.Module):
         return jnp.stack(attns, axis=0)
 
     def get_intermediate_layers(self, imgs: jnp.ndarray, mask_ratio=0, train: bool = False):
-        tokens, _, key_bias = self.prepare_tokens(imgs, mask_ratio, None, train)
+        tokens, _, key_bias, _ = self.prepare_tokens(imgs, mask_ratio, None, train)
         out = []
         for blk in self.blocks:
             tokens = blk(tokens, key_bias, train=train)

@@ -155,6 +155,14 @@ class Trainer:
         self.host_rng = np.random.default_rng(cfg.seed + 17)
         self.rng_key = jax.random.key(cfg.seed + 1)
 
+        # token-drop fast path: masked ViT forwards run on the reference's
+        # own compute shape, 1 + int(L*(1-ratio)) tokens (vit.prepare_tokens).
+        # len_keep is STATIC per compile; distinct values are bounded by L.
+        self._token_L = None
+        if self.mods.vit and cfg.mask and cfg.token_drop:
+            gh, gw = self.mods.encoder.grid_size()
+            self._token_L = gh * gw
+
     def _replicate(self, state):
         """Place the train state replicated over the mesh (params live on
         every device; the batch is the only sharded input)."""
@@ -204,8 +212,13 @@ class Trainer:
             tflag = time.time()
             batch = shard_batch(lms, self.mesh)
             self.rng_key, step_key = jax.random.split(self.rng_key)
+            len_keep = None
+            if self._token_L and mask_ratio > 0:
+                lk = int(np.floor(self._token_L * (1.0 - float(mask_ratio))))
+                len_keep = lk if lk < self._token_L else None
             self.state, metrics, monitor = self.train_step(
-                self.state, batch, step_key, np.float32(mask_ratio), monitor
+                self.state, batch, step_key, np.float32(mask_ratio), monitor,
+                len_keep=len_keep,
             )
             # sampled sync point: fetches the carried finite-flag, so a NaN at
             # ANY step since the last fetch aborts here (not just at it%50==0)

@@ -46,12 +46,14 @@ class Modules:
         self.predictor = BarlowTwinsPredictor(use=cfg.predictor)
         self.vit = is_vit(cfg)
 
-    def encoder_kwargs(self, mask_ratio=0, masked_recon=False):
+    def encoder_kwargs(self, mask_ratio=0, masked_recon=False, len_keep=None):
         if self.vit:
             # mean_pool: reference ViT wrapper forwards use_mean_pool on every
-            # call (model.py:121-127)
+            # call (model.py:121-127).  len_keep (static) selects the
+            # token-drop fast path — the reference's own compute shape
+            # (mae.py:330-346); see vit.prepare_tokens.
             return dict(mask_ratio=mask_ratio, masked_recon=masked_recon,
-                        mean_pool=self.cfg.use_mean_pool)
+                        mean_pool=self.cfg.use_mean_pool, len_keep=len_keep)
         return {}
 
     def make_views(self, key, batch, aug_state):
@@ -68,7 +70,7 @@ class Modules:
 
     def apply_encoder(
         self, params, batch_stats, x, train, rngs=None,
-        mask_ratio=0, masked_recon=False,
+        mask_ratio=0, masked_recon=False, len_keep=None,
     ):
         """Returns (output, new_batch_stats); output is (latent, recon_loss)
         when masked_recon.
@@ -86,7 +88,7 @@ class Modules:
         out, mut = self.encoder.apply(
             variables, x, train=train,
             mutable=["batch_stats"], rngs=rngs,
-            **self.encoder_kwargs(mask_ratio, masked_recon),
+            **self.encoder_kwargs(mask_ratio, masked_recon, len_keep),
         )
         if self.cfg.use_fp16:
             out = jax.tree.map(lambda o: o.astype(jnp.float32), out)

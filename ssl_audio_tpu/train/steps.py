@@ -89,7 +89,7 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
     cfg = mods.cfg
 
     def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio,
-                   monitor=None):
+                   monitor=None, len_keep=None):
         ks = _split_rngs(key)
         if frontend is not None:
             batch = frontend(ks["frontend"], batch)
@@ -99,9 +99,14 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
         def loss_fn(params):
             bs = state.batch_stats
             # --- teacher: first global crop, masked, head + predictor ------
+            # len_keep (STATIC, = int(L*(1-mask_ratio))) selects the
+            # token-drop fast path: the masked forward runs on 1+len_keep
+            # tokens instead of 1+L with -inf key biases — identical kept-
+            # token outputs, ~(1 - len_keep/L) less teacher compute
             t_out, enc_bs = mods.apply_encoder(
                 params["encoder"], bs["encoder"], views[0], train=True,
                 rngs=enc_rngs, mask_ratio=mask_ratio, masked_recon=cfg.masked_recon,
+                len_keep=len_keep,
             )
             recon_loss = jnp.float32(0.0)
             if cfg.masked_recon:
@@ -148,7 +153,8 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
             return new_state, metrics
         return new_state, metrics, _fold_monitor(monitor, loss)
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   static_argnames=("len_keep",))
 
 
 def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True,
@@ -163,7 +169,7 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
     beta = cfg.moving_average_decay
 
     def train_step(state: TrainState, batch: jnp.ndarray, key: jax.Array, mask_ratio,
-                   monitor=None):
+                   monitor=None, len_keep=None):
         ks = _split_rngs(key)
         if frontend is not None:
             batch = frontend(ks["frontend"], batch)
@@ -181,6 +187,7 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
                 o_out, enc_bs = mods.apply_encoder(
                     params["encoder"], enc_bs, v, train=True, rngs=enc_rngs,
                     mask_ratio=mask_ratio, masked_recon=cfg.masked_recon,
+                    len_keep=len_keep,
                 )
                 if cfg.masked_recon:
                     o_out, rl = o_out
@@ -254,7 +261,8 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
             return new_state, metrics
         return new_state, metrics, _fold_monitor(monitor, loss)
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   static_argnames=("len_keep",))
 
 
 def make_forward_fn(mods: Modules, train: bool = False):

@@ -99,11 +99,11 @@ class TestTrainer:
         orig = tr.train_step
         calls = {"n": 0}
 
-        def poisoned(state, batch, key, mask_ratio, monitor):
+        def poisoned(state, batch, key, mask_ratio, monitor, **kw):
             calls["n"] += 1
             if calls["n"] == 3:  # 0-indexed step 2: between sync points
                 batch = batch * np.float32(np.nan)
-            return orig(state, batch, key, mask_ratio, monitor)
+            return orig(state, batch, key, mask_ratio, monitor, **kw)
 
         tr.train_step = poisoned
         with pytest.raises(SystemExit):

@@ -29,7 +29,7 @@ PEAK_TFLOPS = {"tpu": 197.0, "cpu": 1.0}  # v5e: 197 TF bf16
 
 
 def measure(model_type: str, batch_size: int, n_steps: int = 10,
-            use_fp16: bool = False, reps: int = 3):
+            use_fp16: bool = False, reps: int = 3, token_drop: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,12 +47,19 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     step = make_train_step(mods, donate=False)
 
+    len_keep = None
+    if token_drop and "vit" in model_type and cfg.mask_ratio > 0:
+        import numpy as _np
+
+        gh, gw = mods.encoder.grid_size()
+        len_keep = int(_np.floor(gh * gw * (1.0 - cfg.mask_ratio)))
+
     def make_scanned(n):
         def scanned(state, batch, key):
             def body(st, i):
                 new_st, metrics = step(
                     st, batch, jax.random.fold_in(key, i),
-                    jnp.float32(cfg.mask_ratio),
+                    jnp.float32(cfg.mask_ratio), len_keep=len_keep,
                 )
                 return new_st, metrics["loss"]
 
@@ -71,7 +78,8 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     # The new state MUST be a live output — returning only the loss lets XLA
     # dead-code-eliminate the entire backward pass + optimizer update
     # (measured: loss-only lowering reports ~1/3 the FLOPs, i.e. forward only).
-    one = jax.jit(lambda st, b, k: step(st, b, k, jnp.float32(cfg.mask_ratio)))
+    one = jax.jit(lambda st, b, k: step(st, b, k, jnp.float32(cfg.mask_ratio),
+                                        len_keep=len_keep))
     cost = one.lower(state, batch, jax.random.key(1)).compile().cost_analysis() or {}
     flops_per_step = float(cost.get("flops", -1.0))
 
@@ -94,7 +102,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     call_overhead = t_n - n_steps * per_step   # fixed dispatch+fetch cost
     return {
         "model": model_type, "batch": batch_size,
-        "use_fp16": use_fp16,
+        "use_fp16": use_fp16, "token_drop": len_keep is not None,
         "ms_per_step": round(per_step * 1e3, 2),
         "steps_per_sec": round(1.0 / per_step, 2),
         "samples_per_sec": round(batch_size / per_step, 1),
@@ -111,6 +119,7 @@ def main(argv=None):
     p.add_argument("--batches", nargs="+", type=int, default=[128])
     p.add_argument("--n_steps", type=int, default=10)
     p.add_argument("--use_fp16", action="store_true", default=False)
+    p.add_argument("--token_drop", action="store_true", default=False)
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -124,7 +133,8 @@ def main(argv=None):
     rows = []
     for model in args.models:
         for b in args.batches:
-            r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16)
+            r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16,
+                        token_drop=args.token_drop)
             r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
             rows.append(r)
             print(json.dumps(r))

@@ -94,7 +94,9 @@ def main(argv=None):
                 def body(acc, i):
                     return acc + fn(st, b, jax.random.fold_in(key, i)), None
                 out, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
-                return out
+                # key-dependent term so repeat calls with fresh keys can't be
+                # memoized even when fn is deterministic in the key
+                return out + jax.random.uniform(key) * 1e-6
             return jax.jit(scanned)
         return make
 
@@ -102,6 +104,10 @@ def main(argv=None):
         ks = _split_rngs(key)
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"],
                     "droppath": ks["droppath"]}
+        # key-dependent input: without this the whole forward is loop-
+        # invariant and XLA HOISTS it out of the timing scan (measured
+        # 0.61 ms for a 550-GFLOP forward)
+        b = b * (1.0 + jax.random.uniform(ks["aug"]) * 1e-6)
         out, _ = mods.apply_encoder(
             st.params["encoder"], st.batch_stats["encoder"], b,
             train=True, rngs=enc_rngs)
