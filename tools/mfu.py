@@ -29,7 +29,8 @@ PEAK_TFLOPS = {"tpu": 197.0, "cpu": 1.0}  # v5e: 197 TF bf16
 
 
 def measure(model_type: str, batch_size: int, n_steps: int = 10,
-            use_fp16: bool = False, reps: int = 3, token_drop: bool = False):
+            use_fp16: bool = False, reps: int = 3, token_drop: bool = False,
+            wav: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -37,7 +38,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
 
     from ssl_audio_tpu.config import default_config
     from ssl_audio_tpu.train.state import init_train_state
-    from ssl_audio_tpu.train.steps import make_train_step
+    from ssl_audio_tpu.train.steps import make_device_frontend, make_train_step
 
     cfg = default_config(
         model_type=model_type, batch_size=batch_size, mask=True,
@@ -45,7 +46,10 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
         use_fp16=use_fp16,
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
-    step = make_train_step(mods, donate=False)
+    # --wav: the full end-to-end step — raw 10-s waveforms in, mel + crop +
+    # normalize + augment + BT update all inside the one jit
+    frontend = make_device_frontend(cfg, (-0.8294, 4.6230)) if wav else None
+    step = make_train_step(mods, donate=False, frontend=frontend)
 
     len_keep = None
     if token_drop and "vit" in model_type and cfg.mask_ratio > 0:
@@ -69,10 +73,15 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
         return jax.jit(scanned)
 
     rng = np.random.default_rng(0)
-    batch = jnp.asarray(
-        rng.standard_normal((batch_size, 1, cfg.n_mels, cfg.crop_frames))
-        .astype(np.float32)
-    )
+    if wav:
+        batch = jnp.asarray(
+            (rng.standard_normal((batch_size, 160_000)) * 0.1).astype(np.float32)
+        )
+    else:
+        batch = jnp.asarray(
+            rng.standard_normal((batch_size, 1, cfg.n_mels, cfg.crop_frames))
+            .astype(np.float32)
+        )
 
     # per-step logical FLOPs from ONE un-scanned step (see module docstring).
     # The new state MUST be a live output — returning only the loss lets XLA
@@ -102,7 +111,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     call_overhead = t_n - n_steps * per_step   # fixed dispatch+fetch cost
     return {
         "model": model_type, "batch": batch_size,
-        "use_fp16": use_fp16, "token_drop": len_keep is not None,
+        "use_fp16": use_fp16, "token_drop": len_keep is not None, "wav": wav,
         "ms_per_step": round(per_step * 1e3, 2),
         "steps_per_sec": round(1.0 / per_step, 2),
         "samples_per_sec": round(batch_size / per_step, 1),
@@ -120,6 +129,7 @@ def main(argv=None):
     p.add_argument("--n_steps", type=int, default=10)
     p.add_argument("--use_fp16", action="store_true", default=False)
     p.add_argument("--token_drop", action="store_true", default=False)
+    p.add_argument("--wav", action="store_true", default=False)
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -134,7 +144,7 @@ def main(argv=None):
     for model in args.models:
         for b in args.batches:
             r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16,
-                        token_drop=args.token_drop)
+                        token_drop=args.token_drop, wav=args.wav)
             r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
             rows.append(r)
             print(json.dumps(r))
