@@ -1,0 +1,85 @@
+"""HEAR 2021 inference API throughput (the torch-facing surface, end to end).
+
+Times get_scene_embeddings / get_timestamp_embeddings over a batch of
+10-second clips, including every host<->device transfer the API performs —
+this is the contract a heareval harness sees, so wall-clock (not device
+slope) is the right meter.  Repeats with DIFFERENT audio each call so the
+backend's identical-input memoization can't fake the numbers.
+
+    python tools/bench_hear.py --module conv --model audiontt --fast_mel
+    python tools/bench_hear.py --module vit --model vitc_base
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--module", choices=["vit", "conv"], default="conv")
+    p.add_argument("--model", default="audiontt")
+    p.add_argument("--n_clips", type=int, default=64)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--fast_mel", action="store_true", default=False)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import torch
+
+    if args.module == "conv":
+        from ssl_audio_tpu.hear import conv as mod
+
+        model = mod.load_model("", args.model, fast_mel=args.fast_mel)
+    else:
+        from ssl_audio_tpu.hear import vit as mod
+
+        model = mod.load_model("", args.model)
+
+    sr = model.sample_rate
+    n = int(args.seconds * sr)
+    rng = np.random.default_rng(0)
+
+    def clips(seed):
+        return torch.from_numpy(
+            (rng.standard_normal((args.n_clips, n)) * 0.1).astype(np.float32))
+
+    results = {}
+    for name, fn in [
+        ("scene", lambda a: mod.get_scene_embeddings(a, model)),
+        ("timestamp", lambda a: mod.get_timestamp_embeddings(a, model)),
+    ]:
+        out = fn(clips(0))  # compile + warm
+        emb = out[0] if isinstance(out, tuple) else out
+        best = float("inf")
+        for r in range(args.reps):
+            a = clips(r + 1)
+            t0 = time.time()
+            fn(a)
+            best = min(best, time.time() - t0)
+        row = {
+            "clips_per_sec": round(args.n_clips / best, 1),
+            "ms_total": round(best * 1e3, 1),
+            "emb_shape": list(emb.shape),
+        }
+        if name == "timestamp":
+            row["frames_per_sec"] = round(
+                args.n_clips * emb.shape[1] / best, 0)
+        results[name] = row
+        print(name, json.dumps(row))
+
+    print(json.dumps({
+        "module": args.module, "model": args.model,
+        "fast_mel": args.fast_mel, "n_clips": args.n_clips,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
