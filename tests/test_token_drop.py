@@ -99,6 +99,33 @@ class TestTokenDrop:
         np.testing.assert_allclose(float(m_bias["loss"]), float(m_drop["loss"]),
                                    rtol=1e-4)
 
+    def test_sharded_step_with_len_keep(self, rng):
+        """Token-drop (static len_keep) under an 8-device data mesh: the
+        per-sample gather shards over the batch axis and the loss matches the
+        unsharded run."""
+        from ssl_audio_tpu.config import default_config
+        from ssl_audio_tpu.parallel import get_mesh, shard_batch
+        from ssl_audio_tpu.train.state import init_train_state
+        from ssl_audio_tpu.train.steps import make_train_step
+
+        assert len(jax.devices()) == 8
+        cfg = default_config(model_type="vit_tiny", batch_size=16, mask=True,
+                             mask_ratio=self.RATIO, mixup=False,
+                             projector_hidden_dim=32, projector_out_dim=8)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        step = make_train_step(mods, donate=False)
+        batch = jnp.asarray(
+            rng.standard_normal((16, 1, cfg.n_mels, cfg.crop_frames))
+            .astype(np.float32))
+        _, m_single = step(state, batch, jax.random.key(1), jnp.float32(self.RATIO),
+                           len_keep=18)
+        mesh = get_mesh(8)
+        sharded = shard_batch(np.asarray(batch), mesh)
+        _, m_shard = step(state, sharded, jax.random.key(1), jnp.float32(self.RATIO),
+                          len_keep=18)
+        np.testing.assert_allclose(float(m_single["loss"]),
+                                   float(m_shard["loss"]), rtol=1e-4)
+
     def test_trainer_computes_len_keep(self):
         """Trainer wiring: _token_L set for masked ViT runs, len_keep
         quantization matches the reference's int(L*(1-r))."""
