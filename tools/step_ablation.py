@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--model", default="vit_base")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--n", type=int, default=20)
+    p.add_argument("--wav", action="store_true", default=False,
+                   help="raw-waveform input: adds a 'frontend' row and runs "
+                        "the full step in end-to-end wav mode")
     args = p.parse_args(argv)
 
     import jax
@@ -54,7 +57,8 @@ def main(argv=None):
 
     from ssl_audio_tpu.config import default_config
     from ssl_audio_tpu.train.state import init_train_state
-    from ssl_audio_tpu.train.steps import _split_rngs, make_train_step
+    from ssl_audio_tpu.train.steps import (_split_rngs, make_device_frontend,
+                                           make_train_step)
     from ssl_audio_tpu.objectives.barlow import barlow_twins_loss
 
     cfg = default_config(
@@ -65,9 +69,14 @@ def main(argv=None):
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
 
     rng = np.random.default_rng(0)
-    batch = jnp.asarray(
-        rng.standard_normal((args.batch, 1, cfg.n_mels, cfg.crop_frames))
-        .astype(np.float32))
+    frontend = make_device_frontend(cfg, (-0.8294, 4.6230)) if args.wav else None
+    if args.wav:
+        batch = jnp.asarray(
+            (rng.standard_normal((args.batch, 160_000)) * 0.1).astype(np.float32))
+    else:
+        batch = jnp.asarray(
+            rng.standard_normal((args.batch, 1, cfg.n_mels, cfg.crop_frames))
+            .astype(np.float32))
 
     def loss_fn(params, bs, views, ks, mask_ratio):
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"],
@@ -85,7 +94,7 @@ def main(argv=None):
                                  alpha=cfg.alpha, HSIC=cfg.HSIC)
 
     mask_ratio = jnp.float32(cfg.mask_ratio)
-    step = make_train_step(mods, donate=False)
+    step = make_train_step(mods, donate=False, frontend=frontend)
 
     def scan_over(fn):
         # fold a scalar from fn(st, b, key_i) every iteration
@@ -100,6 +109,9 @@ def main(argv=None):
             return jax.jit(scanned)
         return make
 
+    def _lms(ks, b):
+        return frontend(ks["frontend"], b) if frontend is not None else b
+
     def fwd1(st, b, key):
         ks = _split_rngs(key)
         enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"],
@@ -107,20 +119,29 @@ def main(argv=None):
         # key-dependent input: without this the whole forward is loop-
         # invariant and XLA HOISTS it out of the timing scan (measured
         # 0.61 ms for a 550-GFLOP forward)
-        b = b * (1.0 + jax.random.uniform(ks["aug"]) * 1e-6)
+        b = _lms(ks, b) * (1.0 + jax.random.uniform(ks["aug"]) * 1e-6)
         out, _ = mods.apply_encoder(
             st.params["encoder"], st.batch_stats["encoder"], b,
             train=True, rngs=enc_rngs)
         return out.mean()
 
+    def front(st, b, key):
+        ks = _split_rngs(key)
+        return _lms(ks, b).mean()
+
+    def aug(st, b, key):
+        ks = _split_rngs(key)
+        views, _ = mods.make_views(ks["aug"], _lms(ks, b), st.aug)
+        return views[0].mean() + views[1].mean()
+
     def fwd(st, b, key):
         ks = _split_rngs(key)
-        views, _ = mods.make_views(ks["aug"], b, st.aug)
+        views, _ = mods.make_views(ks["aug"], _lms(ks, b), st.aug)
         return loss_fn(st.params, st.batch_stats, views, ks, mask_ratio)
 
     def grad(st, b, key):
         ks = _split_rngs(key)
-        views, _ = mods.make_views(ks["aug"], b, st.aug)
+        views, _ = mods.make_views(ks["aug"], _lms(ks, b), st.aug)
         l, g = jax.value_and_grad(loss_fn)(st.params, st.batch_stats,
                                            views, ks, mask_ratio)
         return l + jax.tree.reduce(
@@ -137,12 +158,15 @@ def main(argv=None):
             return losses.sum()
         return jax.jit(scanned)
 
+    parts = ([("frontend", scan_over(front))] if args.wav else [])
+    parts += [("fwd1", scan_over(fwd1)), ("aug", scan_over(aug)),
+              ("fwd", scan_over(fwd)), ("grad", scan_over(grad)),
+              ("step", full_make)]
     rows = {}
-    for name, make in [("fwd1", scan_over(fwd1)), ("fwd", scan_over(fwd)),
-                       ("grad", scan_over(grad)), ("step", full_make)]:
+    for name, make in parts:
         dt = slope_time(make, args.n, state, batch)
         rows[name] = round(dt * 1e3, 2)
-        print(f"{name:5s}: {dt*1e3:7.2f} ms")
+        print(f"{name:8s}: {dt*1e3:7.2f} ms")
     print(json.dumps({"model": args.model, "batch": args.batch, "ms": rows}))
 
 
