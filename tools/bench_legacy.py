@@ -1,0 +1,94 @@
+"""Legacy-method (DINO / BYOL-A) training-step throughput, slope-timed.
+
+Same methodology as tools/mfu.py: two scan lengths, per-step time from the
+slope (cancels the remote tunnel's fixed per-call overhead), state threaded
+through the scan so nothing is loop-hoisted or memoized.
+
+    python tools/bench_legacy.py --methods dino byola --batch 128
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(method: str, batch_size: int, n: int = 20, reps: int = 3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from ssl_audio_tpu.config import default_config
+    from ssl_audio_tpu.train.legacy_steps import (init_legacy_state,
+                                                  make_byola_train_step,
+                                                  make_dino_train_step)
+
+    cfg = default_config(model_type="audiontt", batch_size=batch_size)
+    mods, state = init_legacy_state(cfg, jax.random.key(0), method)
+    if method == "dino":
+        step = make_dino_train_step(mods)
+
+        def one(st, b, k):
+            return step(st, b, k, jnp.float32(0.04), jnp.float32(0.996))
+    else:
+        step = make_byola_train_step(mods)
+
+        def one(st, b, k):
+            return step(st, b, k, jnp.float32(0.0))
+
+    def make(nn):
+        def scanned(st, b, key):
+            def body(s, i):
+                new_st, metrics = one(s, b, jax.random.fold_in(key, i))
+                return new_st, metrics["loss"]
+            _, losses = lax.scan(body, st, jnp.arange(nn))
+            return losses.sum()
+        return jax.jit(scanned)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.standard_normal((batch_size, 1, cfg.n_mels, cfg.crop_frames))
+        .astype(np.float32))
+
+    def run(nn):
+        f = make(nn)
+        a = float(f(state, batch, jax.random.key(1)))
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.time()
+            b = float(f(state, batch, jax.random.key(r + 2)))
+            best = min(best, time.time() - t0)
+            assert b != a
+        return best
+
+    t_n, t_2n = run(n), run(2 * n)
+    per_step = (t_2n - t_n) / n
+    return {
+        "method": method, "batch": batch_size,
+        "ms_per_step": round(per_step * 1e3, 2),
+        "steps_per_sec": round(1.0 / per_step, 2),
+        "samples_per_sec": round(batch_size / per_step, 1),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--methods", nargs="+", default=["dino", "byola"])
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--n", type=int, default=20)
+    args = p.parse_args(argv)
+    rows = []
+    for m in args.methods:
+        r = measure(m, args.batch, n=args.n)
+        rows.append(r)
+        print(json.dumps(r))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
