@@ -221,3 +221,17 @@ class TestMixedPrecision:
         step = make_train_step(mods, donate=False)
         state, metrics = step(state, make_batch(rng), jax.random.key(1), 0.5)
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_bf16_loss_close_to_fp32(self, rng):
+        """bf16 activations perturb the BT loss by <5% on identical init +
+        batch — the numerical basis for the PERF.md fp16 throughput rows."""
+        batch = make_batch(rng)
+        losses = {}
+        for fp16 in (False, True):
+            cfg = small_cfg(use_fp16=fp16)
+            mods, state = init_train_state(cfg, jax.random.key(0))
+            step = make_train_step(mods, donate=False)
+            _, m = step(state, batch, jax.random.key(1), 0.0)
+            losses[fp16] = float(m["loss"])
+        rel = abs(losses[True] - losses[False]) / abs(losses[False])
+        assert rel < 0.05, losses
