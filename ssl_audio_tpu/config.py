@@ -100,6 +100,10 @@ class Config:
     random_mask_ratio: bool = False
     mask_ratio_schedule: bool = False
     mask_beta: float = 0.3
+    # gradient checkpointing of ViT blocks (jax.checkpoint): ~33% more FLOPs
+    # in exchange for O(depth) less activation HBM — enables large-batch /
+    # long-sequence configs a v5e's 16 GB couldn't otherwise hold
+    remat: bool = False
     # ViT masked forwards drop tokens (the reference's own compute shape,
     # mae.py:330-346) instead of key-bias masking; identical outputs, less
     # compute.  Each distinct len_keep = int(L*(1-ratio)) compiles once
@@ -229,6 +233,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mask_beta", type=float, default=0.3)
     p.add_argument("--no_token_drop", dest="token_drop", action="store_false",
                    default=True)
+    p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
     p.add_argument("--use_cls", action="store_true", default=True)
     p.add_argument("--use_mean_pool", action="store_true", default=False)

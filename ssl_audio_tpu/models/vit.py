@@ -231,6 +231,10 @@ class ViTSpec:
     norm_pix_loss: bool = False
     use_2d_dec_pos_embd: bool = False
     drop_path_rate: float = 0.0
+    # gradient checkpointing: rematerialize each block's activations in the
+    # backward pass (jax.checkpoint) — trades ~33% more FLOPs for O(depth)
+    # less activation HBM; the TPU lever for large-batch/long-sequence runs
+    remat: bool = False
 
 
 class MaskedAutoencoderViT(nn.Module):
@@ -293,8 +297,11 @@ class MaskedAutoencoderViT(nn.Module):
         else:
             table = get_2d_sincos_pos_embed(s.embed_dim, (gh, gw), cls_token=True)
             self.pos_embed = jnp.asarray(table[None])          # constant
+        # static_argnums are positions in Block.__call__ AFTER self:
+        # (x, key_bias, train, return_attention) -> train/return_attention
+        block_cls = nn.remat(Block, static_argnums=(2, 3)) if s.remat else Block
         self.blocks = [
-            Block(
+            block_cls(
                 s.embed_dim,
                 s.num_heads,
                 s.mlp_ratio,
@@ -387,7 +394,7 @@ class MaskedAutoencoderViT(nn.Module):
         tokens, out_mask, key_bias, ids_keep = self.prepare_tokens(
             x, mask_ratio, mask, train, len_keep)
         for blk in self.blocks:
-            tokens = blk(tokens, key_bias, train=train)
+            tokens = blk(tokens, key_bias, train)
         tokens = self.norm(tokens)
         return tokens, out_mask, ids_keep
 
@@ -401,7 +408,7 @@ class MaskedAutoencoderViT(nn.Module):
         patches = (1.0 - m) * patches + m * self.mask_token
         x = jnp.concatenate([cls, patches], axis=1) + self.decoder_pos_embed
         for blk in self.decoder_blocks:
-            x = blk(x, None, train=False)
+            x = blk(x, None, False)
         x = self.decoder_norm(x)
         x = self.decoder_pred(x)
         return x[:, 1:]
@@ -479,15 +486,15 @@ class MaskedAutoencoderViT(nn.Module):
         tokens, _, key_bias, _ = self.prepare_tokens(imgs, mask_ratio, None, train)
         attns = []
         for blk in self.blocks:
-            attns.append(blk(tokens, key_bias, train=train, return_attention=True))
-            tokens = blk(tokens, key_bias, train=train)
+            attns.append(blk(tokens, key_bias, train, True))
+            tokens = blk(tokens, key_bias, train)
         return jnp.stack(attns, axis=0)
 
     def get_intermediate_layers(self, imgs: jnp.ndarray, mask_ratio=0, train: bool = False):
         tokens, _, key_bias, _ = self.prepare_tokens(imgs, mask_ratio, None, train)
         out = []
         for blk in self.blocks:
-            tokens = blk(tokens, key_bias, train=train)
+            tokens = blk(tokens, key_bias, train)
             out.append(self.norm(tokens))
         return out
 

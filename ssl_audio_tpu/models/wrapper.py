@@ -28,18 +28,19 @@ def build_encoder(cfg) -> Tuple[nn.Module, int]:
     elif "vit" in mt:
         conv_stem = mt.split("_")[0] == "vitc"
         size = mt.split("_")[-1]
+        remat = bool(getattr(cfg, "remat", False))
         if cfg.dataset == "cifar10":
             enc = vit.get_mae_vit(
                 size, cfg.patch_size, conv_stem,
                 use_learned_pos_embd=cfg.use_learned_pos_embd,
-                img_size=(32, 32), in_chans=3,
+                img_size=(32, 32), in_chans=3, remat=remat,
             )
         else:
             enc = vit.get_mae_vit(
                 size, cfg.patch_size, conv_stem,
                 use_learned_pos_embd=cfg.use_learned_pos_embd,
                 img_size=(cfg.n_mels, cfg.crop_frames),
-                use_decoder=cfg.masked_recon,
+                use_decoder=cfg.masked_recon, remat=remat,
             )
     else:
         raise NotImplementedError(f"Model type {mt} is not supported")
