@@ -56,6 +56,11 @@ class AudioNTT2022Encoder(nn.Module):
             h = nn.Conv(self.base_d, (3, 3), strides=1, padding=1)(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
             h = nn.relu(h)
+            # NOTE: a reshape+axis-max pool (to dodge the 2.9 ms
+            # select-and-scatter backward, PERF.md trace) was tried and
+            # measured SLOWER overall (26.2 -> 32.0 ms/step at B=256): the
+            # eq-mask backward + broken producer fusion cost more than
+            # select-and-scatter.  nn.max_pool stays.
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
             if self.squeeze_excitation:
                 h = SEBlock()(h)
