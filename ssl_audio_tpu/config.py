@@ -104,6 +104,10 @@ class Config:
     # in exchange for O(depth) less activation HBM — enables large-batch /
     # long-sequence configs a v5e's 16 GB couldn't otherwise hold
     remat: bool = False
+    # N train steps per device dispatch (lax.scan): amortizes the fixed
+    # per-dispatch host/runtime cost (~25-30 ms on this machine's remote
+    # tunnel) N-fold.  1 = reference-style step-by-step dispatch.
+    steps_per_dispatch: int = 1
     # ViT masked forwards drop tokens (the reference's own compute shape,
     # mae.py:330-346) instead of key-bias masking; identical outputs, less
     # compute.  Each distinct len_keep = int(L*(1-ratio)) compiles once
@@ -234,6 +238,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_token_drop", dest="token_drop", action="store_false",
                    default=True)
     p.add_argument("--remat", action="store_true", default=False)
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
     p.add_argument("--use_cls", action="store_true", default=True)
     p.add_argument("--use_mean_pool", action="store_true", default=False)

@@ -61,8 +61,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(x, mesh: Optional[Mesh]):
-    """Device-put a host batch with the leading axis split over the mesh."""
+def shard_batch(x, mesh: Optional[Mesh], axis: int = 0):
+    """Device-put a host batch with `axis` split over the 'data' mesh
+    (axis=1 for (n_steps, B, ...) stacks used by --steps_per_dispatch)."""
     if mesh is None:
         return jax.device_put(x)
-    return jax.device_put(x, batch_sharding(mesh))
+    if axis == 0:
+        return jax.device_put(x, batch_sharding(mesh))
+    spec = [None] * np.ndim(x)
+    spec[axis] = "data"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

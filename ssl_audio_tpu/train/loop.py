@@ -8,6 +8,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ssl_audio_tpu.data import datasets as D
@@ -140,6 +141,14 @@ class Trainer:
         self.train_step = step_factory(
             self.mods, world_scale=float(n_dev), frontend=frontend, donate=donate
         )
+        self.multi_step = None
+        if int(getattr(cfg, "steps_per_dispatch", 1)) > 1:
+            from ssl_audio_tpu.train.steps import make_multi_train_step
+
+            self.multi_step = make_multi_train_step(
+                self.mods, int(cfg.steps_per_dispatch), world_scale=float(n_dev),
+                frontend=frontend, donate=donate, byol=byol,
+            )
 
         self.mask_schedule = None
         if cfg.mask_ratio_schedule:
@@ -185,10 +194,90 @@ class Trainer:
         return float(jax.device_get(monitor["loss_sum"]))
 
     # ------------------------------------------------------------------
+    def _train_one_epoch_multi(self, epoch: int) -> float:
+        """--steps_per_dispatch > 1: N steps per device dispatch via the
+        scanned multi-step (steps.make_multi_train_step).  mask_ratio stays
+        per-STEP (computed host-side per iteration); len_keep is quantized
+        once per window; tail iterations that don't fill a window go through
+        the single-step path."""
+        from ssl_audio_tpu.train.steps import init_monitor
+
+        cfg = self.cfg
+        spd = int(cfg.steps_per_dispatch)
+        self.loader.set_epoch(epoch)
+        monitor = init_monitor()
+        t_data = t_step = 0.0
+        tflag = time.time()
+        buf = []                       # [(lms, mask_ratio, key)]
+        dispatches = 0
+
+        def flush(buf, monitor):
+            nonlocal dispatches
+            lms_stack = np.stack([b[0] for b in buf])
+            ratios = np.asarray([b[1] for b in buf], np.float32)
+            keys = jnp.stack([b[2] for b in buf])
+            len_keep = None
+            if self._token_L and ratios[0] > 0:
+                lk = int(np.floor(self._token_L * (1.0 - float(ratios[0]))))
+                len_keep = lk if lk < self._token_L else None
+            if len(buf) == spd:
+                batches = shard_batch(lms_stack, self.mesh, axis=1)
+                self.state, metrics, monitor = self.multi_step(
+                    self.state, batches, keys, jnp.asarray(ratios), monitor,
+                    len_keep=len_keep,
+                )
+                last_loss = metrics["loss"][-1]
+            else:  # tail window: single-step dispatches, same math
+                for (lms, mr, key) in buf:
+                    self.state, metrics, monitor = self.train_step(
+                        self.state, shard_batch(lms, self.mesh), key,
+                        np.float32(mr), monitor, len_keep=len_keep,
+                    )
+                last_loss = metrics["loss"]
+            dispatches += 1
+            if dispatches % 10 == 0:
+                self._check_monitor(monitor)
+                if self.logger is not None:
+                    self.logger.info(
+                        "epoch,{},step,{},loss,{},data_time,{:.4f},step_time,{:.4f}"
+                        .format(epoch, dispatches * spd, float(last_loss), 0.0, 0.0))
+            return monitor
+
+        for it, (lms, _labels) in enumerate(self.loader):
+            t_data += time.time() - tflag
+            iteration = self.niter_per_ep * (epoch - 1) + it
+            mask_ratio = mask_ratio_for_step(
+                cfg, self.mask_schedule, iteration, self.host_rng, byol=self.byol)
+            self.rng_key, step_key = jax.random.split(self.rng_key)
+            buf.append((np.asarray(lms), mask_ratio, step_key))
+            tflag = time.time()
+            if len(buf) == spd:
+                monitor = flush(buf, monitor)
+                buf = []
+            t_step += time.time() - tflag
+            tflag = time.time()
+        if buf:
+            tflag2 = time.time()
+            monitor = flush(buf, monitor)
+            t_step += time.time() - tflag2
+
+        loss_sum = self._check_monitor(monitor)
+        n_steps = int(jax.device_get(monitor["count"]))
+        avg = loss_sum / max(n_steps, 1)
+        print(
+            f"Epoch [{epoch}/{cfg.epochs}] loss={avg:.4f} "
+            f"data_time={t_data:.1f}s step_time={t_step:.1f}s "
+            f"({n_steps * cfg.batch_size / max(t_data + t_step, 1e-9):.0f} samples/s)"
+        )
+        return avg
+
+    # ------------------------------------------------------------------
     def train_one_epoch(self, epoch: int) -> float:
         from ssl_audio_tpu.train.steps import init_monitor
 
         cfg = self.cfg
+        if self.multi_step is not None:
+            return self._train_one_epoch_multi(epoch)
         self.loader.set_epoch(epoch)
         monitor = init_monitor()
         t_data = t_step = 0.0

@@ -78,7 +78,7 @@ def make_device_frontend(cfg, norm_stats):
 
 
 def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True,
-                    frontend=None):
+                    frontend=None, raw: bool = False):
     """Returns train_step(state, batch, key, mask_ratio) -> (state, metrics).
 
     batch: (B, 1, n_mels, crop_frames) pre-normalized log-mels (the
@@ -153,12 +153,14 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
             return new_state, metrics
         return new_state, metrics, _fold_monitor(monitor, loss)
 
+    if raw:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    static_argnames=("len_keep",))
 
 
 def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True,
-                         frontend=None):
+                         frontend=None, raw: bool = False):
     """BYOL-style variant (main_bt_byol.py:40-166): online encoder takes both
     global crops (masked) + predictor; target encoder takes all crops; loss
     pairs skip same indices (ngcrops_each=2).  With --stop_gradient the
@@ -261,7 +263,42 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
             return new_state, metrics
         return new_state, metrics, _fold_monitor(monitor, loss)
 
+    if raw:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   static_argnames=("len_keep",))
+
+
+def make_multi_train_step(mods: Modules, n_steps: int, world_scale: float = 1.0,
+                          donate: bool = True, frontend=None, byol: bool = False):
+    """N train steps in ONE dispatch via lax.scan (--steps_per_dispatch).
+
+    Real training loops dispatch step-by-step; each dispatch carries a fixed
+    host/runtime cost (~25-30 ms through this machine's remote tunnel,
+    ~0.1-1 ms on a locally-attached TPU — still significant against a
+    15-40 ms step at scale).  Scanning N steps per dispatch amortizes it N×.
+
+    Takes stacked inputs: batches (N, B, ...), keys (N,), mask_ratios (N,).
+    len_keep is static per dispatch window (quantized from the window's
+    first mask ratio — the sine schedule moves a fraction of a token per
+    window).  Returns (state, stacked metrics, monitor)."""
+    factory = make_byol_train_step if byol else make_train_step
+    step = factory(mods, world_scale=world_scale, donate=False,
+                   frontend=frontend, raw=True)
+
+    def multi_step(state: TrainState, batches, keys, mask_ratios, monitor,
+                   len_keep=None):
+        def body(carry, inp):
+            st, mon = carry
+            b, k, mr = inp
+            st, metrics, mon = step(st, b, k, mr, mon, len_keep=len_keep)
+            return (st, mon), metrics
+
+        (state, monitor), metrics = jax.lax.scan(
+            body, (state, monitor), (batches, keys, mask_ratios))
+        return state, metrics, monitor
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else (),
                    static_argnames=("len_keep",))
 
 

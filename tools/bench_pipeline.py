@@ -48,6 +48,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.add_argument("--data_dir", type=str, default="")
     args = p.parse_args(argv)
 
@@ -60,6 +61,7 @@ def main(argv=None):
     cfg = default_config(
         model_type="audiontt", dataset="fsd50k", batch_size=args.batch,
         epochs=args.epochs, num_workers=args.num_workers, no_eval=True,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     from ssl_audio_tpu.train.loop import Trainer
 
