@@ -38,3 +38,15 @@ class TestStepsPerDispatch:
     def test_masked_vit_multi_dispatch(self):
         loss = _run_epoch(2, model_type="vit_tiny", steps=4, mask=True)
         assert np.isfinite(loss)
+
+    def test_byol_multi_dispatch(self):
+        cfg = default_config(
+            model_type="audiontt", dataset="synthetic", batch_size=8,
+            synthetic_steps_per_epoch=4, epochs=1, no_eval=True,
+            steps_per_dispatch=2, num_workers=2, stop_gradient=True,
+            predictor=True, projector_hidden_dim=32, projector_out_dim=8,
+        )
+        ds = SyntheticLMS(cfg, length=32, n_classes=4, seed=5)
+        tr = Trainer(cfg, dataset=ds, byol=True)
+        loss = tr.train_one_epoch(1)
+        assert np.isfinite(loss)
