@@ -43,6 +43,8 @@ def fabricate_fsd50k(root: str, n_files: int, frames: int, seed: int = 0):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="audiontt")
+    p.add_argument("--mask", action="store_true", default=False)
     p.add_argument("--n_files", type=int, default=2000)
     p.add_argument("--frames", type=int, default=300)
     p.add_argument("--epochs", type=int, default=2)
@@ -59,9 +61,10 @@ def main(argv=None):
     fabricate_fsd50k(tmp, args.n_files, args.frames)
 
     cfg = default_config(
-        model_type="audiontt", dataset="fsd50k", batch_size=args.batch,
+        model_type=args.model, dataset="fsd50k", batch_size=args.batch,
         epochs=args.epochs, num_workers=args.num_workers, no_eval=True,
         steps_per_dispatch=args.steps_per_dispatch,
+        mask=args.mask, mask_ratio=0.3 if args.mask else 0.0,
     )
     from ssl_audio_tpu.train.loop import Trainer
 
