@@ -39,6 +39,21 @@ class TestStepsPerDispatch:
         loss = _run_epoch(2, model_type="vit_tiny", steps=4, mask=True)
         assert np.isfinite(loss)
 
+    def test_mask_schedule_with_token_drop(self):
+        """mask_ratio_schedule + token_drop: len_keep re-quantizes as the
+        sine schedule moves (each distinct value compiles once)."""
+        cfg = default_config(
+            model_type="vit_tiny", dataset="synthetic", batch_size=8,
+            synthetic_steps_per_epoch=4, epochs=2, no_eval=True,
+            num_workers=2, mask=True, mask_ratio_schedule=True, mask_beta=0.3,
+            projector_hidden_dim=32, projector_out_dim=8,
+        )
+        ds = SyntheticLMS(cfg, length=32, n_classes=4, seed=5)
+        tr = Trainer(cfg, dataset=ds)
+        for ep in (1, 2):
+            loss = tr.train_one_epoch(ep)
+            assert np.isfinite(loss)
+
     def test_byol_multi_dispatch(self):
         cfg = default_config(
             model_type="audiontt", dataset="synthetic", batch_size=8,
