@@ -45,7 +45,7 @@ def main():
         (datasets.py mel+crop+normalize, then AudioPairTransform), batched."""
         k_crop, k_aug = jax.random.split(key)
         lms = log_mel_spectrogram(wavs, spec)            # (B, 64, 1001)
-        starts = jax.random.randint(k_crop, (B,), 0, n_frames - cfg.crop_frames)
+        starts = jax.random.randint(k_crop, (B,), 0, n_frames - cfg.crop_frames + 1)
         idx = starts[:, None] + jnp.arange(cfg.crop_frames)[None, :]
         lms = jnp.take_along_axis(lms, idx[:, None, :], axis=2)[:, None]
         lms = (lms - (-0.8294)) / 4.6230                 # audioset stats (main.py:293)

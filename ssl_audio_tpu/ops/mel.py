@@ -232,7 +232,7 @@ def log_mel_spectrogram(wav: jnp.ndarray, spec: MelSpec, fast: bool = False) -> 
     return jnp.log(mel_spectrogram(wav, spec, fast) + TORCH_FLOAT32_EPS)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
 def log_mel_spectrogram_cropped(
     wav: jnp.ndarray, spec: MelSpec, starts: jnp.ndarray, out_frames: int,
     fast: bool = False,

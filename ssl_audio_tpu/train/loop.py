@@ -175,8 +175,6 @@ class Trainer:
     def _replicate(self, state):
         """Place the train state replicated over the mesh (params live on
         every device; the batch is the only sharded input)."""
-        from ssl_audio_tpu.parallel import replicated
-
         sharding = replicated(self.mesh)
         return jax.tree.map(
             lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, state
@@ -193,6 +191,24 @@ class Trainer:
             sys.exit(1)
         return float(jax.device_get(monitor["loss_sum"]))
 
+    def _fresh_monitor(self):
+        """Epoch-start NaN monitor, COMMITTED to the mesh like a step
+        output: an uncommitted scalar tree is a different jit cache
+        signature than the committed monitor a step returns, which forced a
+        full recompile at dispatch 2 and again at each epoch start
+        (measured 3x ~75 s compiles of the same ViT-B program)."""
+        from ssl_audio_tpu.train.steps import init_monitor
+
+        return jax.device_put(
+            init_monitor(),
+            replicated(self.mesh) if self.mesh is not None else None,
+        )
+
+    def _stop_trace(self):
+        jax.profiler.stop_trace()
+        self._tracing = False
+        print(f"profiler trace written to {self.cfg.profile_dir}")
+
     # ------------------------------------------------------------------
     def _train_one_epoch_multi(self, epoch: int) -> float:
         """--steps_per_dispatch > 1: N steps per device dispatch via the
@@ -200,20 +216,10 @@ class Trainer:
         per-STEP (computed host-side per iteration); len_keep is quantized
         once per window; tail iterations that don't fill a window go through
         the single-step path."""
-        from ssl_audio_tpu.train.steps import init_monitor
-
         cfg = self.cfg
         spd = int(cfg.steps_per_dispatch)
         self.loader.set_epoch(epoch)
-        # commit the fresh monitor to the mesh like a step OUTPUT would be:
-        # an uncommitted scalar tree is a DIFFERENT jit cache signature than
-        # the committed monitor returned by the step, which forced a full
-        # recompile at dispatch 2 and again at each epoch start (measured
-        # 3x ~75 s compiles of the same program on ViT-B)
-        monitor = jax.device_put(
-            init_monitor(),
-            replicated(self.mesh) if self.mesh is not None else None,
-        )
+        monitor = self._fresh_monitor()
         t_data = t_step = 0.0
         tflag = time.time()
         buf = []                       # [(lms, mask_ratio, key)]
@@ -224,8 +230,15 @@ class Trainer:
             lms_stack = np.stack([b[0] for b in buf])
             ratios = np.asarray([b[1] for b in buf], np.float32)
             keys = jnp.stack([b[2] for b in buf])
+            # len_keep is static for the whole window, so it can only stand
+            # in for the per-step ratios when they are (near-)constant across
+            # the window: fixed ratio, or the sine schedule (moves a fraction
+            # of a token per window).  --random_mask_ratio draws a DIFFERENT
+            # ratio per step (including 0 with p=0.5) — fall back to the
+            # traced key-bias masking there.
             len_keep = None
-            if self._token_L and ratios[0] > 0:
+            if (self._token_L and not self.cfg.random_mask_ratio
+                    and ratios[0] > 0):
                 lk = int(np.floor(self._token_L * (1.0 - float(ratios[0]))))
                 len_keep = lk if lk < self._token_L else None
             if len(buf) == spd:
@@ -281,21 +294,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_one_epoch(self, epoch: int) -> float:
-        from ssl_audio_tpu.train.steps import init_monitor
-
         cfg = self.cfg
         if self.multi_step is not None:
             return self._train_one_epoch_multi(epoch)
         self.loader.set_epoch(epoch)
-        # commit the fresh monitor to the mesh like a step OUTPUT would be:
-        # an uncommitted scalar tree is a DIFFERENT jit cache signature than
-        # the committed monitor returned by the step, which forced a full
-        # recompile at dispatch 2 and again at each epoch start (measured
-        # 3x ~75 s compiles of the same program on ViT-B)
-        monitor = jax.device_put(
-            init_monitor(),
-            replicated(self.mesh) if self.mesh is not None else None,
-        )
+        monitor = self._fresh_monitor()
         t_data = t_step = 0.0
         tflag = time.time()
         for it, (lms, _labels) in enumerate(self.loader):
@@ -305,11 +308,11 @@ class Trainer:
             # optional jax.profiler trace of steps 10-20 of the first epoch
             # (SURVEY.md §5 tracing; view with TensorBoard/XProf)
             if cfg.profile_dir and epoch == 1:
-                if iteration == 10:
+                if iteration == min(10, self.niter_per_ep - 1):
                     jax.profiler.start_trace(cfg.profile_dir)
-                elif iteration == 20:
-                    jax.profiler.stop_trace()
-                    print(f"profiler trace written to {cfg.profile_dir}")
+                    self._tracing = True
+                elif iteration == 20 and getattr(self, "_tracing", False):
+                    self._stop_trace()
             mask_ratio = mask_ratio_for_step(
                 cfg, self.mask_schedule, iteration, self.host_rng, byol=self.byol
             )
@@ -346,6 +349,10 @@ class Trainer:
             t_step += time.time() - tflag
             tflag = time.time()
 
+        # a trace started near a short first epoch's end is stopped here so
+        # it is always written
+        if getattr(self, "_tracing", False):
+            self._stop_trace()
         # epoch-end fetch covers the tail steps; loss_sum/count is the TRUE
         # per-step average over the epoch (the reference averages every step)
         loss_sum = self._check_monitor(monitor)

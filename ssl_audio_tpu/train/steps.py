@@ -25,6 +25,19 @@ def _split_rngs(key, names=("aug", "mask", "dropout", "droppath", "frontend")):
     return dict(zip(names, keys))
 
 
+def _view_rngs(ks, i: int):
+    """Independent rng streams for the i-th encoder forward of a step.
+
+    flax's make_rng re-folds from the PASSED key on every apply(), so reusing
+    one rng dict across per-view encoder calls would give every view the SAME
+    token-mask noise and dropout pattern — unlike the reference, whose
+    MultiCropWrapper concatenates same-resolution crops into one (nB, ...)
+    forward (utils.py:94-133) so random_masking draws distinct noise rows per
+    crop and torch dropout advances a global RNG between calls."""
+    return {k: jax.random.fold_in(ks[k], i)
+            for k in ("mask", "dropout", "droppath")}
+
+
 def init_monitor():
     """Device-side training monitor: running finite-flag + loss accumulator.
 
@@ -63,7 +76,10 @@ def make_device_frontend(cfg, norm_stats):
         n_frames = spec.num_frames(wavs.shape[-1])
         B = wavs.shape[0]
         out_frames = min(cfg.crop_frames, n_frames)
-        hi = max(n_frames - cfg.crop_frames, 1)
+        # inclusive upper bound: valid starts are 0..n_frames-crop_frames —
+        # the reference's lms crop is random.randint(0, length_adj), both
+        # ends inclusive (datasets.py:112); jax randint's maxval is exclusive
+        hi = max(n_frames - cfg.crop_frames + 1, 1)
         starts = jax.random.randint(key, (B,), 0, hi)
         # explicit crop-before-transform: only out_frames frames per clip hit
         # the DFT (XLA cannot hoist the crop through a gradient graph)
@@ -94,7 +110,6 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
         if frontend is not None:
             batch = frontend(ks["frontend"], batch)
         views, aug_state = mods.make_views(ks["aug"], batch, state.aug)
-        enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
 
         def loss_fn(params):
             bs = state.batch_stats
@@ -105,8 +120,8 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
             # token outputs, ~(1 - len_keep/L) less teacher compute
             t_out, enc_bs = mods.apply_encoder(
                 params["encoder"], bs["encoder"], views[0], train=True,
-                rngs=enc_rngs, mask_ratio=mask_ratio, masked_recon=cfg.masked_recon,
-                len_keep=len_keep,
+                rngs=_view_rngs(ks, 0), mask_ratio=mask_ratio,
+                masked_recon=cfg.masked_recon, len_keep=len_keep,
             )
             recon_loss = jnp.float32(0.0)
             if cfg.masked_recon:
@@ -118,9 +133,10 @@ def make_train_step(mods: Modules, world_scale: float = 1.0, donate: bool = True
 
             # --- student: second global crop + locals, unmasked ------------
             student_zs = []
-            for v in views[1:]:
+            for i, v in enumerate(views[1:]):
                 s_out, enc_bs = mods.apply_encoder(
-                    params["encoder"], enc_bs, v, train=True, rngs=enc_rngs
+                    params["encoder"], enc_bs, v, train=True,
+                    rngs=_view_rngs(ks, 1 + i),
                 )
                 s_z, head_bs = mods.apply_head(params["head"], head_bs, s_out, train=True)
                 if cfg.stop_gradient:
@@ -176,18 +192,20 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
         if frontend is not None:
             batch = frontend(ks["frontend"], batch)
         views, aug_state = mods.make_views(ks["aug"], batch, state.aug)
-        enc_rngs = {"mask": ks["mask"], "dropout": ks["dropout"], "droppath": ks["droppath"]}
 
         def loss_fn(params, target_params):
             bs = state.batch_stats
             tbs = state.target_batch_stats
             recon_loss = jnp.float32(0.0)
-            # online: both global crops, masked
+            # online: both global crops, masked — per-view rngs so the two
+            # crops get INDEPENDENT mask noise (the reference's concatenated
+            # 2B forward draws distinct noise rows per crop)
             online_zs = []
             enc_bs, head_bs, pred_bs = bs["encoder"], bs["head"], bs["predictor"]
-            for v in views[:2]:
+            for i, v in enumerate(views[:2]):
                 o_out, enc_bs = mods.apply_encoder(
-                    params["encoder"], enc_bs, v, train=True, rngs=enc_rngs,
+                    params["encoder"], enc_bs, v, train=True,
+                    rngs=_view_rngs(ks, i),
                     mask_ratio=mask_ratio, masked_recon=cfg.masked_recon,
                     len_keep=len_keep,
                 )
@@ -208,9 +226,10 @@ def make_byol_train_step(mods: Modules, world_scale: float = 1.0, donate: bool =
             # target: all crops, unmasked
             target_zs = []
             t_enc_bs, t_head_bs = tbs["encoder"], tbs["head"]
-            for v in views:
+            for i, v in enumerate(views):
                 t_out, t_enc_bs = mods.apply_encoder(
-                    target_params["encoder"], t_enc_bs, v, train=True, rngs=enc_rngs
+                    target_params["encoder"], t_enc_bs, v, train=True,
+                    rngs=_view_rngs(ks, 2 + i),
                 )
                 t_z, t_head_bs = mods.apply_head(
                     target_params["head"], t_head_bs, t_out, train=True

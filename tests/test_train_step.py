@@ -103,16 +103,18 @@ class TestFrozenParams:
 
 class TestTrainStep:
     def test_loss_decreases(self, rng):
+        # per-step augmentation randomness makes single-step comparisons
+        # noisy; compare first-quarter vs last-quarter means over 20 steps
         cfg = small_cfg()
         mods, state = init_train_state(cfg, jax.random.key(0))
         step = make_train_step(mods, donate=False)
         batch = make_batch(rng)
         losses = []
-        for i in range(8):
+        for i in range(20):
             state, metrics = step(state, batch, jax.random.fold_in(jax.random.key(1), i), 0.0)
             losses.append(float(metrics["loss"]))
         assert all(np.isfinite(losses))
-        assert losses[-1] < losses[0], losses
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
     def test_masked_recon_step(self, rng):
         cfg = small_cfg(model_type="vit_tiny", masked_recon=True, mask=True)
