@@ -39,8 +39,12 @@ def main(argv=None):
         val_ds = D.FSD50K(cfg, split="val", norm_stats=D.NORM_STATS["fsd50k"])
         single_label = False
     elif cfg.dataset == "audioset":
+        # AudioSet-20k protocol: probe trains on (balanced) train segments and
+        # is scored on the EVAL segments (old/evaluate/linear.py test loaders,
+        # eval CSV selection old/data_manager/audioset_lms.py:72-78) — never
+        # on the training set itself.
         train_ds = D.AudioSet(cfg, norm_stats=D.NORM_STATS["audioset"])
-        val_ds = train_ds
+        val_ds = D.AudioSet(cfg, norm_stats=D.NORM_STATS["audioset"], test=True)
         single_label = False
     elif cfg.dataset == "synthetic":
         train_ds = D.SyntheticLMS(cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size)

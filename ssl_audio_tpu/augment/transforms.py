@@ -33,9 +33,20 @@ def init_augment_state(cfg, sample_shape: Tuple[int, ...] = None) -> AugmentStat
     """sample_shape defaults to (1, n_mels, crop_frames)."""
     if sample_shape is None:
         sample_shape = (1, cfg.n_mels, cfg.crop_frames)
-    mix = (
-        A.init_mixup_state(cfg.mixup_n_memory, sample_shape) if cfg.mixup else None
-    )
+    mix = None
+    if cfg.mixup:
+        # the ring-buffer batch write (augmentations.mixup_byola) indexes
+        # rows (pos + arange(B)) % n_memory — a batch larger than the bank
+        # would silently overwrite its own rows within one step (the
+        # reference's per-worker FIFO list, augmentations.py:101-115, has no
+        # such aliasing because it appends per sample)
+        if cfg.batch_size > cfg.mixup_n_memory:
+            raise ValueError(
+                f"--mixup_n_memory ({cfg.mixup_n_memory}) must be >= "
+                f"--batch_size ({cfg.batch_size}): the on-device mixup ring "
+                f"buffer writes one whole batch per step"
+            )
+        mix = A.init_mixup_state(cfg.mixup_n_memory, sample_shape)
     rn = None
     if cfg.pre_norm:
         # per-sample mean/std over (mel, time): stats shape (1, 1, 1, 1)

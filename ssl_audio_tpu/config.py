@@ -31,6 +31,7 @@ DATASETS = [
     "cifar10",
     "synthetic",      # extension: host-free random log-mels for smoke/bench runs
     "synthetic_wav",  # extension: raw waveforms for the on-device-frontend mode
+    "synthetic_multicue",  # extension: augmentation-robust learning-proof task
 ]
 
 OPTIMIZERS = ["Adam", "AdamW", "SGD", "LARS"]
@@ -108,6 +109,12 @@ class Config:
     # per-dispatch host/runtime cost (~25-30 ms on this machine's remote
     # tunnel) N-fold.  1 = reference-style step-by-step dispatch.
     steps_per_dispatch: int = 1
+    # Pallas fused Conv-BN-ReLU-MaxPool for AudioNTT's first conv layer
+    # (ops/fused_conv.py): identical math, ~no HBM round-trips of the
+    # (B, 64, 96, 64) activation.  Single-chip training path; under a
+    # multi-chip GSPMD mesh the opaque kernel forces the batch to gather,
+    # so leave off there.
+    fused_conv: bool = False
     # ViT masked forwards drop tokens (the reference's own compute shape,
     # mae.py:330-346) instead of key-bias masking; identical outputs, less
     # compute.  Each distinct len_keep = int(L*(1-ratio)) compiles once
@@ -239,6 +246,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--steps_per_dispatch", type=int, default=1)
+    p.add_argument("--fused_conv", action="store_true", default=False)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
     p.add_argument("--use_cls", action="store_true", default=True)
     p.add_argument("--use_mean_pool", action="store_true", default=False)

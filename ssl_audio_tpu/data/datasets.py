@@ -232,14 +232,23 @@ class NSynthHEAR(_LMSDatasetBase):
 
 class AudioSet(_LMSDatasetBase):
     """reference datasets.py:293-359 — `.npy` lms only, '#'-separated labels,
-    corrupt-file fallback to a random FSD50K sample (335-340)."""
+    corrupt-file fallback to a random FSD50K sample (335-340).
 
-    def __init__(self, cfg, transform=None, norm_stats=None, data_dir="data", seed=0):
+    test=True selects the eval-segments split (the AudioSet-20k probe
+    protocol evaluates on eval segments, not training data:
+    old/data_manager/audioset_lms.py:72-78 `eval_segments-downloaded.csv`,
+    old/evaluate/linear.py test loaders)."""
+
+    def __init__(self, cfg, transform=None, norm_stats=None, data_dir="data",
+                 seed=0, test=False):
         super().__init__(cfg, transform, norm_stats, None, seed)
         self.base_dir = os.path.join(data_dir, "audioset_lms")
         self.data_dir = data_dir
+        self.segments_dir = "eval_segments" if test else "unbalanced_train_segments"
+        csv_name = ("eval_segments-downloaded.csv" if test
+                    else "unbalanced_train_segments-downloaded.csv")
         rows = []
-        with open(os.path.join(self.base_dir, "unbalanced_train_segments-downloaded.csv")) as f:
+        with open(os.path.join(self.base_dir, csv_name)) as f:
             for row in csv.reader(f):
                 rows.append(row)
         self.audio_fnames = [r[0] for r in rows]
@@ -264,7 +273,7 @@ class AudioSet(_LMSDatasetBase):
 
     def batch_paths(self, indices):
         paths = [
-            os.path.join(self.base_dir, "unbalanced_train_segments",
+            os.path.join(self.base_dir, self.segments_dir,
                          f"{self.audio_fnames[int(i)]}.npy")
             for i in indices
         ]
@@ -273,7 +282,7 @@ class AudioSet(_LMSDatasetBase):
     def __getitem__(self, idx):
         fname = self.audio_fnames[idx]
         y = self._label(idx)
-        path = os.path.join(self.base_dir, "unbalanced_train_segments", f"{fname}.npy")
+        path = os.path.join(self.base_dir, self.segments_dir, f"{fname}.npy")
         try:
             lms = np.load(path)[None]
         except (ValueError, FileNotFoundError):
@@ -398,6 +407,61 @@ class SyntheticLMS:
         )
         lms = rng.standard_normal((1, self.cfg.n_mels, self.cfg.crop_frames)).astype(np.float32)
         lms = lms * self.noise + self.env_gain * env[None].astype(np.float32)
+        y = np.zeros(self.n_classes, np.float32)
+        y[cls] = 1.0
+        return lms, y
+
+
+class SyntheticMultiCue:
+    """Synthetic task whose class signal SURVIVES the full BYOL-A
+    augmentation suite (learning-proof design, VERDICT r2 #2).
+
+    Each class jointly encodes two independent cues:
+      * a spectral envelope position (n_env coarse bands), and
+      * a temporal amplitude-modulation rate (n_rate geometric rates).
+    RandomResizeCrop warps each axis by U(0.6, 1.5) per view, which jitters
+    the observed band position / AM rate but cannot erase BOTH cues at once
+    (band spacing 1/n_env and rate ratio ``rate_ratio`` are chosen wider
+    than the warp); mixup's linear-power contamination (alpha <= 0.2*U) and
+    the linear fader leave the dominant envelope/modulation intact.  The
+    single-cue SyntheticLMS packs 20 envelope positions 0.05 apart — under
+    a +-0.3 RRC shift the only cue decorrelates between views and the BT
+    objective eventually suppresses it (measured collapse in PERF.md r2)."""
+
+    def __init__(self, cfg, length: Optional[int] = None, n_env=4, n_rate=5,
+                 seed=0, gain=1.2, env_width=0.09, noise=1.0,
+                 rate_min=2.0, rate_ratio=2.2, am_depth=0.9):
+        self.cfg = cfg
+        self.length = length if length is not None else cfg.synthetic_len
+        self.n_env = n_env
+        self.n_rate = n_rate
+        self.n_classes = n_env * n_rate
+        self.label_num = self.n_classes
+        self.seed = seed
+        self.gain = gain
+        self.env_width = env_width
+        self.noise = noise
+        self.rate_min = rate_min
+        self.rate_ratio = rate_ratio
+        self.am_depth = am_depth
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        cls = idx % self.n_classes
+        e, r = cls % self.n_env, cls // self.n_env
+        F, T = self.cfg.n_mels, self.cfg.crop_frames
+        mel = np.linspace(0, 1, F)[:, None]
+        center = (e + 0.5) / self.n_env
+        env = np.exp(-0.5 * ((mel - center) / self.env_width) ** 2)
+        rate = self.rate_min * self.rate_ratio ** r          # cycles per clip
+        t = np.linspace(0, 1, T)[None, :]
+        phase = rng.uniform(0, 2 * np.pi)
+        am = 1.0 + self.am_depth * np.sin(2 * np.pi * rate * t + phase)
+        lms = rng.standard_normal((1, F, T)).astype(np.float32) * self.noise
+        lms += (self.gain * env * am)[None].astype(np.float32)
         y = np.zeros(self.n_classes, np.float32)
         y[cls] = 1.0
         return lms, y

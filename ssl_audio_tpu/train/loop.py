@@ -75,6 +75,10 @@ def get_train_dataset(cfg, data_dir="data"):
         return D.SyntheticLMS(
             cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
         )
+    if ds == "synthetic_multicue":
+        return D.SyntheticMultiCue(
+            cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
+        )
     if ds == "synthetic_wav":
         return D.SyntheticWav(
             cfg, length=cfg.synthetic_steps_per_epoch * cfg.batch_size, seed=cfg.seed
@@ -209,6 +213,25 @@ class Trainer:
         self._tracing = False
         print(f"profiler trace written to {self.cfg.profile_dir}")
 
+    def _static_len_keep(self, mask_ratio: float):
+        """Static token-drop count for one step/window, or None for the
+        traced key-bias path.
+
+        len_keep is a STATIC jit argument — every distinct value is a full
+        recompile (~75 s through the remote tunnel).  With
+        --random_mask_ratio each step draws a fresh continuous ratio
+        (mask_ratio_for_step), so quantizing it would mint up to ~0.25*L
+        distinct cache entries; fall back to the traced key-bias masking
+        there (both the single-step and multi-dispatch paths, identically).
+        Quantization uses the original python float, matching the
+        reference's float64 int(L*(1-r)) (mae.py:330) — an np.float32
+        round-trip can floor to one fewer kept token at representability
+        boundaries."""
+        if not self._token_L or self.cfg.random_mask_ratio or mask_ratio <= 0:
+            return None
+        lk = int(np.floor(self._token_L * (1.0 - float(mask_ratio))))
+        return lk if lk < self._token_L else None
+
     # ------------------------------------------------------------------
     def _train_one_epoch_multi(self, epoch: int) -> float:
         """--steps_per_dispatch > 1: N steps per device dispatch via the
@@ -219,14 +242,23 @@ class Trainer:
         cfg = self.cfg
         spd = int(cfg.steps_per_dispatch)
         self.loader.set_epoch(epoch)
+        if cfg.profile_dir and epoch == 1:
+            print(
+                "WARNING: --profile_dir is only supported with "
+                "--steps_per_dispatch 1 (the trace brackets individual step "
+                "dispatches); no trace will be captured."
+            )
         monitor = self._fresh_monitor()
         t_data = t_step = 0.0
+        # per-window timing accumulators since the last CSV log line —
+        # the multi path's analog of the single-step dt_i/st_i split
+        win_data = win_step = 0.0
         tflag = time.time()
         buf = []                       # [(lms, mask_ratio, key)]
         dispatches = 0
 
         def flush(buf, monitor):
-            nonlocal dispatches
+            nonlocal dispatches, win_data, win_step
             lms_stack = np.stack([b[0] for b in buf])
             ratios = np.asarray([b[1] for b in buf], np.float32)
             keys = jnp.stack([b[2] for b in buf])
@@ -234,13 +266,9 @@ class Trainer:
             # in for the per-step ratios when they are (near-)constant across
             # the window: fixed ratio, or the sine schedule (moves a fraction
             # of a token per window).  --random_mask_ratio draws a DIFFERENT
-            # ratio per step (including 0 with p=0.5) — fall back to the
-            # traced key-bias masking there.
-            len_keep = None
-            if (self._token_L and not self.cfg.random_mask_ratio
-                    and ratios[0] > 0):
-                lk = int(np.floor(self._token_L * (1.0 - float(ratios[0]))))
-                len_keep = lk if lk < self._token_L else None
+            # ratio per step (including 0 with p=0.5) — _static_len_keep
+            # falls back to the traced key-bias masking there.
+            len_keep = self._static_len_keep(buf[0][1])
             if len(buf) == spd:
                 batches = shard_batch(lms_stack, self.mesh, axis=1)
                 self.state, metrics, monitor = self.multi_step(
@@ -259,13 +287,21 @@ class Trainer:
             if dispatches % 10 == 0:
                 self._check_monitor(monitor)
                 if self.logger is not None:
+                    # measured wall times accumulated since the last log,
+                    # averaged per dispatch window (VERDICT r2 #6b: the
+                    # split that justifies --steps_per_dispatch)
+                    n_win = 10.0
                     self.logger.info(
                         "epoch,{},step,{},loss,{},data_time,{:.4f},step_time,{:.4f}"
-                        .format(epoch, dispatches * spd, float(last_loss), 0.0, 0.0))
+                        .format(epoch, dispatches * spd, float(last_loss),
+                                win_data / n_win, win_step / n_win))
+                win_data = win_step = 0.0
             return monitor
 
         for it, (lms, _labels) in enumerate(self.loader):
-            t_data += time.time() - tflag
+            dt_i = time.time() - tflag
+            t_data += dt_i
+            win_data += dt_i
             iteration = self.niter_per_ep * (epoch - 1) + it
             mask_ratio = mask_ratio_for_step(
                 cfg, self.mask_schedule, iteration, self.host_rng, byol=self.byol)
@@ -275,7 +311,9 @@ class Trainer:
             if len(buf) == spd:
                 monitor = flush(buf, monitor)
                 buf = []
-            t_step += time.time() - tflag
+            st_i = time.time() - tflag
+            t_step += st_i
+            win_step += st_i
             tflag = time.time()
         if buf:
             tflag2 = time.time()
@@ -320,10 +358,7 @@ class Trainer:
             tflag = time.time()
             batch = shard_batch(lms, self.mesh)
             self.rng_key, step_key = jax.random.split(self.rng_key)
-            len_keep = None
-            if self._token_L and mask_ratio > 0:
-                lk = int(np.floor(self._token_L * (1.0 - float(mask_ratio))))
-                len_keep = lk if lk < self._token_L else None
+            len_keep = self._static_len_keep(mask_ratio)
             self.state, metrics, monitor = self.train_step(
                 self.state, batch, step_key, np.float32(mask_ratio), monitor,
                 len_keep=len_keep,
@@ -379,6 +414,15 @@ class Trainer:
                 resume_path, jax.device_get(self.state)
             )
             self.state = self._replicate(state)
+            # deterministic resume (SURVEY.md §5; VERDICT r2 #4): restore the
+            # step-key stream and the host mask-ratio generator so epochs
+            # after the resume replay the exact randomness of an
+            # uninterrupted run.  Checkpoints from before this feature have
+            # no rng payload — they resume with seed-derived rng (the
+            # reference's behavior, utils.py:37-46).
+            rng = ckpt_lib.load_rng(resume_path)
+            if rng is not None:
+                self.rng_key, self.host_rng = rng
             print(f"Resumed from {resume_path} at epoch {start_epoch}")
 
         for epoch in range(start_epoch, cfg.epochs + 1):
@@ -387,6 +431,7 @@ class Trainer:
                 if jax.process_index() == 0:
                     path = os.path.join(ckpt_path, f"model_{epoch}")
                     ckpt_lib.save_checkpoint(path, jax.device_get(self.state), epoch + 1)
+                    ckpt_lib.save_rng(path, self.rng_key, self.host_rng)
                     print(f"Saved checkpoint {path}")
             if eval_fn and (epoch % cfg.epoch_eval_f == 0 or epoch == cfg.epochs):
                 if not cfg.no_eval and jax.process_index() == 0:
