@@ -14,7 +14,41 @@ Architecture (n_mels=64, d=3072):
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree ({kernel, bias}) so the
+    fused-kernel path keeps checkpoint/torch-import compatibility."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Parameter/stat holder matching nn.BatchNorm's tree ({scale, bias} +
+    batch_stats {mean, var})."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        return scale, bias, ra_mean, ra_var
 
 
 class SEBlock(nn.Module):
@@ -47,14 +81,52 @@ class AudioNTT2022Encoder(nn.Module):
     conv_layers: int = 2
     stack: bool = True
     squeeze_excitation: bool = False
+    # Pallas fused conv-block for layer 0 (ops/fused_conv.py): never
+    # materializes the (B, F, T, base_d) activation XLA round-trips ~5x
+    # (PERF.md r3 trace: ~14.4 of 26.2 ms fp32 at B=256)
+    fused_conv: bool = False
+
+    def _fused_block(self, h: jnp.ndarray, i: int, train: bool) -> jnp.ndarray:
+        """Same math as the unfused block below: fused kernel in training
+        mode (batch stats + running-average update), plain jnp composition
+        in eval mode (running stats — no pallas needed there)."""
+        from ssl_audio_tpu.ops.fused_conv import fused_conv1_bn_relu_pool
+
+        kernel, cbias = _ConvParams(self.base_d, h.shape[-1],
+                                    name=f"Conv_{i}")()
+        scale, bbias, ra_mean, ra_var = _BNParams(self.base_d,
+                                                  name=f"BatchNorm_{i}")()
+        if train:
+            pooled, mean, var = fused_conv1_bn_relu_pool(
+                h, kernel, cbias, scale, bbias)
+            if self.is_mutable_collection("batch_stats"):
+                m = 0.9
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            return pooled
+        y = jax.lax.conv_general_dilated(
+            h, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cbias
+        z = scale * (y - ra_mean.value) * jax.lax.rsqrt(ra_var.value + 1e-5) \
+            + bbias
+        return nn.max_pool(nn.relu(z), (2, 2), strides=(2, 2))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """x: (B, 1, F, T) -> frame embeddings (B, T', d)."""
         h = jnp.transpose(x, (0, 2, 3, 1))                    # NHWC (B, F, T, 1)
-        for _ in range(self.conv_layers):
-            h = nn.Conv(self.base_d, (3, 3), strides=1, padding=1)(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        for i in range(self.conv_layers):
+            if self.fused_conv and h.shape[-1] == 1 \
+                    and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0:
+                h = self._fused_block(h, i, train)
+                if self.squeeze_excitation:
+                    h = SEBlock()(h)
+                continue
+            h = nn.Conv(self.base_d, (3, 3), strides=1, padding=1,
+                        name=f"Conv_{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"BatchNorm_{i}")(h)
             h = nn.relu(h)
             # NOTE: a reshape+axis-max pool (to dodge the 2.9 ms
             # select-and-scatter backward, PERF.md trace) was tried and
@@ -87,6 +159,7 @@ class AudioNTT2022(nn.Module):
     d: int = 3072
     mlp_hidden_d: int = 2048
     squeeze_excitation: bool = False
+    fused_conv: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -99,6 +172,7 @@ class AudioNTT2022(nn.Module):
             d=self.d,
             mlp_hidden_d=self.mlp_hidden_d,
             squeeze_excitation=self.squeeze_excitation,
+            fused_conv=self.fused_conv,
             name="encoder",
         )(x, train=train)
         return mean_max_pooling(frames)

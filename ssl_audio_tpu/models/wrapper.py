@@ -24,7 +24,10 @@ def build_encoder(cfg) -> Tuple[nn.Module, int]:
         assert cfg.n_mels == 64, (
             f"n_mels must be 64 to use AudioNTT encoder (n_mels set to {cfg.n_mels})"
         )
-        enc = audiontt.AudioNTT2022(squeeze_excitation=cfg.squeeze_excitation)
+        enc = audiontt.AudioNTT2022(
+            squeeze_excitation=cfg.squeeze_excitation,
+            fused_conv=bool(getattr(cfg, "fused_conv", False)),
+        )
     elif "vit" in mt:
         conv_stem = mt.split("_")[0] == "vitc"
         size = mt.split("_")[-1]

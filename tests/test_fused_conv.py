@@ -1,0 +1,152 @@
+"""Fused Conv-BN-ReLU-MaxPool block (ops/fused_conv.py) parity against the
+unfused flax composition it replaces (reference model.py:130-172 block 1):
+forward values, every parameter gradient, batch-stat updates, the
+select-and-scatter tie-break, eval mode, and the full train step."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl_audio_tpu.config import default_config
+from ssl_audio_tpu.models.audiontt import AudioNTT2022
+from ssl_audio_tpu.ops.fused_conv import fused_conv1_bn_relu_pool
+
+
+def unfused_reference(x, kernel, bias, gamma, beta, eps=1e-5):
+    """The exact composition the kernel replaces, via plain jax ops (same
+    lowering flax uses): conv(pad 1) -> train-mode BN -> relu -> maxpool."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    mean = y.mean(axis=(0, 1, 2))
+    var = (y * y).mean(axis=(0, 1, 2)) - mean * mean
+    z = gamma * (y - mean) * jax.lax.rsqrt(var + eps) + beta
+    a = jax.nn.relu(z)
+    pooled = jax.lax.reduce_window(
+        a, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return pooled, mean, var
+
+
+def make_inputs(rng, B=4, H=16, W=24, C=64, ties=False):
+    x = rng.standard_normal((B, H, W, 1)).astype(np.float32)
+    if ties:
+        # quantize so 2x2 windows frequently tie — exercises the first-max
+        # tie-break select-and-scatter uses
+        x = np.round(x * 2) / 2
+    kernel = (rng.standard_normal((3, 3, 1, C)) * 0.3).astype(np.float32)
+    bias = rng.standard_normal(C).astype(np.float32) * 0.1
+    gamma = (1.0 + 0.3 * rng.standard_normal(C)).astype(np.float32)
+    gamma[: C // 4] *= -1.0                       # negative-scale channels
+    beta = (0.2 * rng.standard_normal(C)).astype(np.float32)
+    return (jnp.asarray(v) for v in (x, kernel, bias, gamma, beta))
+
+
+class TestForward:
+    @pytest.mark.parametrize("ties", [False, True])
+    def test_values_and_stats(self, rng, ties):
+        x, k, b, g, be = make_inputs(rng, ties=ties)
+        p_f, m_f, v_f = fused_conv1_bn_relu_pool(x, k, b, g, be)
+        p_r, m_r, v_r = unfused_reference(x, k, b, g, be)
+        np.testing.assert_allclose(m_f, m_r, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(v_f, v_r, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(p_f, p_r, atol=1e-5, rtol=1e-5)
+
+    def test_bf16_close(self, rng):
+        x, k, b, g, be = make_inputs(rng)
+        cast = lambda t: t.astype(jnp.bfloat16)
+        p_f, m_f, v_f = fused_conv1_bn_relu_pool(cast(x), cast(k), cast(b),
+                                                 cast(g), cast(be))
+        p_r, _, _ = unfused_reference(x, k, b, g, be)
+        assert p_f.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(p_f, np.float32), p_r,
+                                   atol=0.1, rtol=0.05)
+
+
+class TestGradients:
+    @pytest.mark.parametrize("ties", [False, True])
+    def test_all_param_grads(self, rng, ties):
+        x, k, b, g, be = make_inputs(rng, ties=ties)
+        dp = jnp.asarray(rng.standard_normal((4, 8, 12, 64)).astype(np.float32))
+
+        def loss_fused(k, b, g, be):
+            p, _, _ = fused_conv1_bn_relu_pool(x, k, b, g, be)
+            return jnp.sum(p * dp)
+
+        def loss_ref(k, b, g, be):
+            p, _, _ = unfused_reference(x, k, b, g, be)
+            return jnp.sum(p * dp)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(k, b, g, be)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(k, b, g, be)
+        for a, r, name in zip(gf, gr, ["kernel", "bias", "gamma", "beta"]):
+            np.testing.assert_allclose(a, r, atol=2e-4, rtol=1e-3,
+                                       err_msg=name)
+
+    def test_dx(self, rng):
+        x, k, b, g, be = make_inputs(rng)
+        dp = jnp.asarray(rng.standard_normal((4, 8, 12, 64)).astype(np.float32))
+
+        def loss(fn, x):
+            p, _, _ = fn(x, k, b, g, be)
+            return jnp.sum(p * dp)
+
+        dx_f = jax.grad(functools.partial(loss, fused_conv1_bn_relu_pool))(x)
+        dx_r = jax.grad(functools.partial(loss, unfused_reference))(x)
+        np.testing.assert_allclose(dx_f, dx_r, atol=2e-4, rtol=1e-3)
+
+
+class TestModuleIntegration:
+    def _models(self):
+        return (AudioNTT2022(fused_conv=False), AudioNTT2022(fused_conv=True))
+
+    def test_apply_parity_and_stats(self, rng):
+        """Same params (identical trees by construction), same input ->
+        same pooled embeddings and same batch_stats updates."""
+        plain, fused = self._models()
+        x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
+        variables = plain.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False)
+        out_p, mut_p = plain.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)})
+        out_f, mut_f = fused.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)})
+        np.testing.assert_allclose(out_f, out_p, atol=2e-4, rtol=1e-3)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            mut_f["batch_stats"], mut_p["batch_stats"])
+
+    def test_eval_mode_parity(self, rng):
+        plain, fused = self._models()
+        x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
+        variables = plain.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False)
+        out_p = plain.apply(variables, x, train=False)
+        out_f = fused.apply(variables, x, train=False)
+        np.testing.assert_allclose(out_f, out_p, atol=1e-5, rtol=1e-5)
+
+    def test_train_step_loss_parity(self):
+        """Full BT train step with --fused_conv matches the unfused step."""
+        from ssl_audio_tpu.train.state import init_train_state
+        from ssl_audio_tpu.train.steps import make_train_step
+
+        losses = {}
+        for fused in (False, True):
+            cfg = default_config(
+                dataset="synthetic", model_type="audiontt", batch_size=8,
+                projector_hidden_dim=64, projector_out_dim=16,
+                mixup_n_memory=8, fused_conv=fused)
+            mods, state = init_train_state(cfg, jax.random.key(0))
+            step = make_train_step(mods, donate=False, raw=True)
+            batch = jax.random.normal(jax.random.key(3), (8, 1, 64, 96))
+            new_state, metrics = step(state, batch, jax.random.key(4),
+                                      jnp.float32(0.0))
+            losses[fused] = float(metrics["loss"])
+            assert np.isfinite(losses[fused])
+        assert losses[True] == pytest.approx(losses[False], rel=1e-4)
