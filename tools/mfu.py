@@ -30,7 +30,7 @@ PEAK_TFLOPS = {"tpu": 197.0, "cpu": 1.0}  # v5e: 197 TF bf16
 
 def measure(model_type: str, batch_size: int, n_steps: int = 10,
             use_fp16: bool = False, reps: int = 3, token_drop: bool = False,
-            wav: bool = False):
+            wav: bool = False, fused_conv: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -112,6 +112,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     return {
         "model": model_type, "batch": batch_size,
         "use_fp16": use_fp16, "token_drop": len_keep is not None, "wav": wav,
+        "fused_conv": fused_conv,
         "ms_per_step": round(per_step * 1e3, 2),
         "steps_per_sec": round(1.0 / per_step, 2),
         "samples_per_sec": round(batch_size / per_step, 1),
@@ -130,6 +131,7 @@ def main(argv=None):
     p.add_argument("--use_fp16", action="store_true", default=False)
     p.add_argument("--token_drop", action="store_true", default=False)
     p.add_argument("--wav", action="store_true", default=False)
+    p.add_argument("--fused_conv", action="store_true", default=False)
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -144,7 +146,8 @@ def main(argv=None):
     for model in args.models:
         for b in args.batches:
             r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16,
-                        token_drop=args.token_drop, wav=args.wav)
+                        token_drop=args.token_drop, wav=args.wav,
+                        fused_conv=args.fused_conv)
             r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
             rows.append(r)
             print(json.dumps(r))
