@@ -78,11 +78,13 @@ def main(argv=None):
     be = jnp.asarray(0.1 * rng.standard_normal(C), dt)
     dp = jnp.asarray(rng.standard_normal((B, H // 2, W // 2, C)), dt)
 
-    x9, x9t = fc._build_x9(x[..., 0])
-    wk = k.reshape(9, C)
+    Mq = (H // 2) * (W // 2)
+    x9q = fc._build_x9q(x[..., 0])
+    wkt = k.reshape(9, C).T
     (pooled, mean, var), res = fc._fwd_impl(x, k, b, g, be, 1e-5)
     r = jax.lax.rsqrt(var + 1e-5)
-    print(f"HS={fc.HS} dtype={args.dtype} B={B}")
+    dpt = dp.transpose(0, 3, 1, 2).reshape(B, C, Mq)
+    print(f"NB={fc.NB} dtype={args.dtype} B={B}")
 
     def run(name, fn, a):
         ms = slope_time(fn, a, n=args.n) * 1e3
@@ -91,38 +93,39 @@ def main(argv=None):
     if "build" in args.parts:
         def build(key, x):
             xx = x + jax.random.uniform(key, (1,), x.dtype)
-            a, bT = fc._build_x9(xx[..., 0])
-            return a.sum().astype(jnp.float32) + bT[0, 0, 0].astype(jnp.float32)
+            a = fc._build_x9q(xx[..., 0])
+            return a.astype(jnp.float32).sum()
 
-        run("x9+x9t build", build, (x,))
+        run("x9q build", build, (x,))
 
     if "fwd" in args.parts:
-        def fwd(key, x9, wk, b, g):
-            xx = x9 + jax.random.uniform(key, (1,), x9.dtype)
-            sel, sums = fc._fwd_call(xx, wk, b, g, H, W, C)
-            return sel.astype(jnp.float32).sum() + sums.sum()
+        def fwd(key, x9q, wkt, b, g):
+            xx = x9q + jax.random.uniform(key, (1,), x9q.dtype)
+            sel, s1, s2 = fc._fwd_call(xx, wkt, b, g, C, Mq)
+            return sel.astype(jnp.float32).sum() + s1.sum() + s2.sum()
 
-        run("fwd kernel", fwd, (x9, wk, b, g))
+        run("fwd kernel", fwd, (x9q, wkt, b, g))
 
     if "bwd" in args.parts:
-        def bwd(key, x9, x9t, wk, b, g, be, mean, r, dp):
-            dd = dp + jax.random.uniform(key, (1,), dp.dtype)
-            acc = fc._bwd_call(x9, x9t, wk, b, g, be, mean, r, dd, H, W, C)
-            return acc.sum()
+        def bwd(key, x9q, wkt, b, g, be, mean, r, dpt):
+            dd = dpt + jax.random.uniform(key, (1,), dpt.dtype)
+            t, a1, a3, a2 = fc._bwd_call(x9q, wkt, b, g, be, mean, r, dd,
+                                         C, Mq)
+            return t.sum() + a1.sum() + a3.sum() + a2.sum()
 
-        run("bwd kernel", bwd, (x9, x9t, wk, b, g, be, mean, r, dp))
+        run("bwd kernel", bwd, (x9q, wkt, b, g, be, mean, r, dpt))
 
     if "dx" in args.parts:
         t1 = jnp.zeros(C, jnp.float32)
         t2 = jnp.zeros(C, jnp.float32)
 
-        def dxf(key, x9, wk, b, g, be, mean, r, dp):
-            dd = dp + jax.random.uniform(key, (1,), dp.dtype)
-            dx = fc._dx_call(x9, wk, b, g, be, mean, r, t1, t2,
-                             B * H * W, dd, H, W, C)
+        def dxf(key, x9q, wkt, b, g, be, mean, r, dpt):
+            dd = dpt + jax.random.uniform(key, (1,), dpt.dtype)
+            dx = fc._dx_call(x9q, wkt, b, g, be, mean, r, t1, t2,
+                             B * H * W, dd, H, W, C, Mq)
             return dx.astype(jnp.float32).sum()
 
-        run("dx kernel", dxf, (x9, wk, b, g, be, mean, r, dp))
+        run("dx kernel", dxf, (x9q, wkt, b, g, be, mean, r, dpt))
 
     if "full" in args.parts:
         def full(key, x, k, b, g, be, dp):

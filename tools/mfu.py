@@ -43,7 +43,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     cfg = default_config(
         model_type=model_type, batch_size=batch_size, mask=True,
         random_mask_ratio=False, mask_ratio=0.3 if "vit" in model_type else 0.0,
-        use_fp16=use_fp16,
+        use_fp16=use_fp16, fused_conv=fused_conv,
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     # --wav: the full end-to-end step — raw 10-s waveforms in, mel + crop +
