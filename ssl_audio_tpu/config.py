@@ -111,10 +111,17 @@ class Config:
     steps_per_dispatch: int = 1
     # Pallas fused Conv-BN-ReLU-MaxPool for AudioNTT's first conv layer
     # (ops/fused_conv.py): identical math, ~no HBM round-trips of the
-    # (B, 64, 96, 64) activation.  Single-chip training path; under a
-    # multi-chip GSPMD mesh the opaque kernel forces the batch to gather,
-    # so leave off there.
-    fused_conv: bool = False
+    # (B, 64, 96, 64) activation (measured B=256: fp32 step 26.2 -> 18.1 ms,
+    # bf16 wav step 19.8 -> 16.8 ms).  None = auto: on for single-device TPU
+    # training, off elsewhere (CPU runs it in slow interpret mode; under a
+    # multi-chip GSPMD mesh the opaque kernel forces the batch to gather).
+    # --fused_conv / --no_fused_conv force it.
+    fused_conv: bool | None = None
+    # Wav-domain training frontend DFT/mel matmul precision: True runs the
+    # three GEMMs at lax.Precision.HIGH (bf16x3, ~2e-4 rel log-mel error —
+    # the same mode the HEAR fast_mel path ships) instead of HIGHEST.
+    # On CPU HIGH == HIGHEST == fp32, so tests and parity are unaffected.
+    fast_mel: bool = False
     # ViT masked forwards drop tokens (the reference's own compute shape,
     # mae.py:330-346) instead of key-bias masking; identical outputs, less
     # compute.  Each distinct len_keep = int(L*(1-ratio)) compiles once
@@ -246,7 +253,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--steps_per_dispatch", type=int, default=1)
-    p.add_argument("--fused_conv", action="store_true", default=False)
+    p.add_argument("--fused_conv", action="store_true", default=None)
+    p.add_argument("--no_fused_conv", dest="fused_conv", action="store_false")
+    p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
     p.add_argument("--use_cls", action="store_true", default=True)
     p.add_argument("--use_mean_pool", action="store_true", default=False)

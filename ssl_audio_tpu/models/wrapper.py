@@ -24,9 +24,17 @@ def build_encoder(cfg) -> Tuple[nn.Module, int]:
         assert cfg.n_mels == 64, (
             f"n_mels must be 64 to use AudioNTT encoder (n_mels set to {cfg.n_mels})"
         )
+        fused = getattr(cfg, "fused_conv", None)
+        if fused is None:
+            # auto: the kernel wins on a single TPU chip (PERF.md r3); CPU
+            # would run it in interpret mode and a multi-chip GSPMD mesh
+            # would gather the batch around the opaque kernel
+            import jax
+
+            fused = jax.default_backend() == "tpu" and jax.device_count() == 1
         enc = audiontt.AudioNTT2022(
             squeeze_excitation=cfg.squeeze_excitation,
-            fused_conv=bool(getattr(cfg, "fused_conv", False)),
+            fused_conv=bool(fused),
         )
     elif "vit" in mt:
         conv_stem = mt.split("_")[0] == "vitc"

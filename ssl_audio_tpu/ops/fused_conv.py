@@ -94,9 +94,17 @@ def _build_x9q(x2: jnp.ndarray) -> jnp.ndarray:
 
 def _corner(x9q_ref, wkt_ref, b_ref, p: int):
     """Window-corner p of the conv output, channels on sublanes:
-    (C, 9) @ (9, Mq) + b -> (C, Mq) fp32."""
-    x9 = x9q_ref[0, p].astype(jnp.float32)            # (9, Mq)
-    wkt = wkt_ref[:].astype(jnp.float32)              # (C, 9)
+    (C, 9) @ (9, Mq) + b -> (C, Mq) fp32.
+
+    bf16 inputs stay bf16 into the MXU (single-pass, f32 accumulate —
+    exact for bf16 operands); f32 inputs keep the multi-pass f32 dot."""
+    x9 = x9q_ref[0, p]                                # (9, Mq)
+    wkt = wkt_ref[:]                                  # (C, 9)
+    if x9.dtype == jnp.bfloat16:
+        wkt = wkt.astype(jnp.bfloat16)
+    else:
+        x9 = x9.astype(jnp.float32)
+        wkt = wkt.astype(jnp.float32)
     v = jnp.dot(wkt, x9, preferred_element_type=jnp.float32)
     return v + b_ref[:].astype(jnp.float32)           # b (C, 1)
 

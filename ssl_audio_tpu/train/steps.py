@@ -83,7 +83,9 @@ def make_device_frontend(cfg, norm_stats):
         starts = jax.random.randint(key, (B,), 0, hi)
         # explicit crop-before-transform: only out_frames frames per clip hit
         # the DFT (XLA cannot hoist the crop through a gradient graph)
-        lms = log_mel_spectrogram_cropped(wavs, spec, starts, out_frames)[:, None]
+        lms = log_mel_spectrogram_cropped(
+            wavs, spec, starts, out_frames,
+            fast=bool(getattr(cfg, "fast_mel", False)))[:, None]
         if n_frames < cfg.crop_frames:
             lms = jnp.pad(
                 lms, ((0, 0), (0, 0), (0, 0), (0, cfg.crop_frames - n_frames))

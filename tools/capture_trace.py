@@ -20,6 +20,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--use_fp16", action="store_true", default=False)
     p.add_argument("--fused_conv", action="store_true", default=False)
+    p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--wav", action="store_true", default=False)
     p.add_argument("--scan", action="store_true", default=False)
     p.add_argument("--out", required=True)
@@ -38,6 +39,7 @@ def main(argv=None):
         random_mask_ratio=False,
         mask_ratio=0.3 if "vit" in args.model else 0.0,
         use_fp16=args.use_fp16, fused_conv=args.fused_conv,
+        fast_mel=args.fast_mel,
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     frontend = make_device_frontend(cfg, (-0.8294, 4.6230)) if args.wav else None

@@ -30,7 +30,8 @@ PEAK_TFLOPS = {"tpu": 197.0, "cpu": 1.0}  # v5e: 197 TF bf16
 
 def measure(model_type: str, batch_size: int, n_steps: int = 10,
             use_fp16: bool = False, reps: int = 3, token_drop: bool = False,
-            wav: bool = False, fused_conv: bool = False):
+            wav: bool = False, fused_conv: bool = False,
+            fast_mel: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,7 +44,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     cfg = default_config(
         model_type=model_type, batch_size=batch_size, mask=True,
         random_mask_ratio=False, mask_ratio=0.3 if "vit" in model_type else 0.0,
-        use_fp16=use_fp16, fused_conv=fused_conv,
+        use_fp16=use_fp16, fused_conv=fused_conv, fast_mel=fast_mel,
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     # --wav: the full end-to-end step — raw 10-s waveforms in, mel + crop +
@@ -132,6 +133,7 @@ def main(argv=None):
     p.add_argument("--token_drop", action="store_true", default=False)
     p.add_argument("--wav", action="store_true", default=False)
     p.add_argument("--fused_conv", action="store_true", default=False)
+    p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -147,7 +149,7 @@ def main(argv=None):
         for b in args.batches:
             r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16,
                         token_drop=args.token_drop, wav=args.wav,
-                        fused_conv=args.fused_conv)
+                        fused_conv=args.fused_conv, fast_mel=args.fast_mel)
             r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
             rows.append(r)
             print(json.dumps(r))
