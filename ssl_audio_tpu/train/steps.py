@@ -22,7 +22,19 @@ from ssl_audio_tpu.train.state import Modules, TrainState
 
 def _split_rngs(key, names=("aug", "mask", "dropout", "droppath", "frontend")):
     keys = jax.random.split(key, len(names))
-    return dict(zip(names, keys))
+    ks = dict(zip(names, keys))
+    # dropout/droppath masks are the one place the step generates MILLIONS of
+    # random bits (AudioNTT: 12.6M/view for the MLP hidden) — threefry mask
+    # generation fused into the Dense GEMMs measured 1.17 ms/step at B=256
+    # (tools/dropout_ablation.py, 2026-08-17).  RBG is the TPU's hardware
+    # generator (XLA RngBitGenerator): same Bernoulli semantics, different
+    # (still deterministic, key-derived) draws — the reference makes no
+    # reproducibility promise across frameworks for dropout patterns.
+    for name in ("dropout", "droppath"):
+        kd = jax.random.key_data(ks[name])
+        ks[name] = jax.random.wrap_key_data(
+            jnp.concatenate([kd, kd]), impl="rbg")
+    return ks
 
 
 def _view_rngs(ks, i: int):
