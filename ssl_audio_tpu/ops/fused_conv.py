@@ -9,14 +9,24 @@ backward.  This kernel never materializes it — in fact the full-resolution
 activation never exists even in VMEM:
 
 Everything is computed at 2x2-WINDOW granularity in a channels-on-sublanes
-layout.  The host builds X9Q (B, 4, 9, Mq), the input pre-shifted for every
-(window position p, conv tap s) pair with Mq = H/2*W/2 window cells on
-lanes; the kernel then gets each window-corner of the conv output directly
-as one MXU matmul  vT_p = wkT (C, 9) @ x9q[p] (9, Mq)  — dense (64, 1536)
-tiles, no minor-dim-9 arrays, no 5-D reshapes, no interleaves.  (Two
-earlier designs failed: full-image tiles OOMed Mosaic's ~16 MB VMEM scoped
-stack at 37 MB, and (M, 9)-layout strips spent 5-9 us/strip on padded
-lane-tiles and relayouts.)
+layout.  For window corner p = (pi, pj) and conv tap s = (dh, dw), the
+input value tap s sees at window (i, j) is xpad[2i+pi+dh, 2j+pj+dw] =
+parity-plane (qh, qw) at offset (oh, ow), where pi+dh = 2*oh + qh.  The 36
+(p, s) pairs hit only **16 unique (plane, offset) combinations**, so the
+host builds X16 (B, 16, Mq) — 16 shifted full-window views with
+Mq = H/2*W/2 window cells on lanes (4 strided parity slices, then all-
+contiguous views; materializing all 36 rows was measured 2.2x more build
+time and 2.2x the kernel load bytes).  Each window-corner of the conv
+output is then ONE dense MXU matmul
+
+    v_p = W16[p] (C, 16) @ X16 (16, Mq)      W16[p][c, u] = wk[c, s]
+                                             scattered via u(p, s)
+
+with zero columns for the 7 slots corner p never touches (exact: 0*x
+contributes nothing).  No minor-dim-9 arrays, no 5-D reshapes, no
+interleaves.  (Two earlier designs failed: full-image tiles OOMed Mosaic's
+~16 MB VMEM scoped stack at 37 MB, and (M, 9)-layout strips spent
+5-9 us/strip on padded lane-tiles and relayouts.)
 
 * forward: accumulates per-channel (sum_y, sum_y2) for the BN batch stats
   and writes only the window extreme of y (max, or min where gamma < 0).
@@ -26,14 +36,19 @@ lane-tiles and relayouts.)
 * backward: recomputes the four corners, forms dzw_p = dp*e_p*relu'(z_p)
   (e_p = first-extreme tie-break mask, select-and-scatter order), and
   reduces everything the parameter gradients need:
-    T1[c]   = sum dz            T2[c]   = sum dz*xhat    Sx[c] = sum xhat
-    A1[c,s] = sum x_s*dz        A3[c,s] = sum x_s*xhat   A2[s] = sum x_s
-  as deep-K MXU contractions over the window axis.  The BN chain rule then
-  assembles dW/db/dgamma/dbeta OUTSIDE the kernel:
+    T1[c]    = sum dz           T2[c]    = sum dz*xhat    Sx[c] = sum xhat
+    G1[p,c,u]= dz_p @ X16^T     G3[p,c,u]= xhat_p @ X16^T R[u]  = sum X16
+  as deep-K MXU contractions over the window axis.  The per-tap sums the
+  BN chain rule needs are static gathers of the 16-column outputs:
+    A1[c,s] = sum_p G1[p,c,u(p,s)]   A3 likewise   A2[s] = sum_p R[u(p,s)]
+  and dW/db/dgamma/dbeta assemble OUTSIDE the kernel:
     dW[s,c] = r*g*(A1 - A2*T1/N - A3*T2/N)     dgamma = T2, dbeta = T1
     db[c]   = -r*g*Sx*T2/N                      (Sx ~ 0 up to float error)
   dx (cotangent of the input) is a separate pallas_call so XLA dead-code-
   eliminates it when x is not on the grad path (block 1's input is data).
+
+bf16 inputs stay bf16 into the MXU (single-pass, f32 accumulate — exact
+for bf16 operands); f32 inputs use the multi-pass f32 dot.
 
 Numerics match flax nn.Conv(padding=1) + nn.BatchNorm(momentum 0.9,
 eps 1e-5, biased variance) + relu + nn.max_pool((2,2),(2,2)) including the
@@ -43,6 +58,8 @@ from __future__ import annotations
 
 import functools
 from typing import Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -57,55 +74,71 @@ CORNERS = [(0, 0), (0, 1), (1, 0), (1, 1)]
 NB = 1           # images per grid step
 
 
+def _slot(qh: int, qw: int, oh: int, ow: int) -> int:
+    return ((qh * 2 + qw) * 2 + oh) * 2 + ow
+
+
+def _u_of(p: int, s: int) -> int:
+    """Unique (parity-plane, offset) slot for corner p, tap s."""
+    pi, pj = CORNERS[p]
+    dh, dw = TAPS[s]
+    return _slot((pi + dh) % 2, (pj + dw) % 2, (pi + dh) // 2, (pj + dw) // 2)
+
+
+# U_MAP[p][s] = slot index; for fixed p the 9 slots are distinct
+U_MAP = np.array([[_u_of(p, s) for s in range(9)] for p in range(4)])
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _build_x9q(x2: jnp.ndarray) -> jnp.ndarray:
-    """x2 (B, H, W) -> X9Q (B, 4, 9, Mq): for window corner p and tap s,
-    X9Q[b, p, s, (i, j)] = xpad[b, 2i+pi+dh, 2j+pj+dw] — the value tap s
-    sees when producing the conv output at window (i, j) corner p.
+def _build_x16(x2: jnp.ndarray) -> jnp.ndarray:
+    """x2 (B, H, W) -> X16 (B, 16, Mq): the 16 unique shifted window views
+    X16[b, slot(qh, qw, oh, ow), (i, j)] = xpad[b, 2(i+oh)+qh, 2(j+ow)+qw].
 
-    Two-stage build: one parity de-interleave (4 strided slices over the
-    6 MB input), then all 36 (corner, tap) views are CONTIGUOUS slices of a
-    parity plane.  Slicing the original directly needs 36 stride-2 passes —
-    measured 3.7 ms/step of `slice` + `concatenate` HLOs at B=256."""
+    One parity de-interleave (4 strided slices over the padded input), then
+    every view is a CONTIGUOUS slice of a parity plane."""
     B, H, W = x2.shape
     xp = jnp.pad(x2, ((0, 0), (1, 1), (1, 1)))
     h2, w2 = H // 2, W // 2
-    # parity planes: par[qh][qw][b, i, j] = xp[b, 2i+qh, 2j+qw]
     # stride-2 slice to the full padded extent: each parity plane gets
     # h2+1 rows / w2+1 cols (H even => H+2 rows hold h2+1 of each parity)
     par = [[jax.lax.slice(xp, (0, qh, qw), (B, xp.shape[1], xp.shape[2]),
                           (1, 2, 2))
             for qw in range(2)] for qh in range(2)]
-    rows = []
-    for pi, pj in CORNERS:
-        taps = []
-        for dh, dw in TAPS:
-            qh, oh = (pi + dh) % 2, (pi + dh) // 2
-            qw, ow = (pj + dw) % 2, (pj + dw) // 2
-            sl = jax.lax.slice(par[qh][qw], (0, oh, ow),
-                               (B, oh + h2, ow + w2))
-            taps.append(sl.reshape(B, h2 * w2))
-        rows.append(jnp.stack(taps, axis=1))          # (B, 9, Mq)
-    return jnp.stack(rows, axis=1)                    # (B, 4, 9, Mq)
+    rows = [None] * 16
+    for qh in range(2):
+        for qw in range(2):
+            for oh in range(2):
+                for ow in range(2):
+                    sl = jax.lax.slice(par[qh][qw], (0, oh, ow),
+                                       (B, oh + h2, ow + w2))
+                    rows[_slot(qh, qw, oh, ow)] = sl.reshape(B, h2 * w2)
+    return jnp.stack(rows, axis=1)                    # (B, 16, Mq)
 
 
-def _corner(x9q_ref, wkt_ref, b_ref, p: int):
+def _fold_w16(wkt: jnp.ndarray) -> jnp.ndarray:
+    """wkt (C, 9) -> W16 (4, C, 16): per-corner weight matrix with wk[c, s]
+    scattered into column u(p, s) (zeros elsewhere — exact)."""
+    C = wkt.shape[0]
+    w16 = jnp.zeros((4, C, 16), wkt.dtype)
+    for p in range(4):
+        w16 = w16.at[p, :, U_MAP[p]].set(wkt.T)       # (9, C) rows -> slots
+    return w16
+
+
+def _corner(x16_ref, w16_ref, b_ref, p: int):
     """Window-corner p of the conv output, channels on sublanes:
-    (C, 9) @ (9, Mq) + b -> (C, Mq) fp32.
-
-    bf16 inputs stay bf16 into the MXU (single-pass, f32 accumulate —
-    exact for bf16 operands); f32 inputs keep the multi-pass f32 dot."""
-    x9 = x9q_ref[0, p]                                # (9, Mq)
-    wkt = wkt_ref[:]                                  # (C, 9)
-    if x9.dtype == jnp.bfloat16:
-        wkt = wkt.astype(jnp.bfloat16)
+    (C, 16) @ (16, Mq) + b -> (C, Mq) fp32."""
+    x16 = x16_ref[0]                                  # (16, Mq)
+    w = w16_ref[p]                                    # (C, 16)
+    if x16.dtype == jnp.bfloat16:
+        w = w.astype(jnp.bfloat16)
     else:
-        x9 = x9.astype(jnp.float32)
-        wkt = wkt.astype(jnp.float32)
-    v = jnp.dot(wkt, x9, preferred_element_type=jnp.float32)
+        x16 = x16.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+    v = jnp.dot(w, x16, preferred_element_type=jnp.float32)
     return v + b_ref[:].astype(jnp.float32)           # b (C, 1)
 
 
@@ -120,8 +153,8 @@ def _extreme(vs, pos):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x9q_ref, wkt_ref, b_ref, g_ref, sel_ref, s1_ref, s2_ref):
-    vs = [_corner(x9q_ref, wkt_ref, b_ref, p) for p in range(4)]
+def _fwd_kernel(x16_ref, w16_ref, b_ref, g_ref, sel_ref, s1_ref, s2_ref):
+    vs = [_corner(x16_ref, w16_ref, b_ref, p) for p in range(4)]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -135,14 +168,14 @@ def _fwd_kernel(x9q_ref, wkt_ref, b_ref, g_ref, sel_ref, s1_ref, s2_ref):
     sel_ref[0] = sel.astype(sel_ref.dtype)
 
 
-def _fwd_call(x9q, wkt, b, gamma, C, Mq):
-    B = x9q.shape[0]
+def _fwd_call(x16, w16, b, gamma, C, Mq):
+    B = x16.shape[0]
     sel, s1, s2 = pl.pallas_call(
         _fwd_kernel,
         grid=(B // NB,),
         in_specs=[
-            pl.BlockSpec((NB, 4, 9, Mq), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((C, 9), lambda i: (0, 0)),
+            pl.BlockSpec((NB, 16, Mq), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
         ],
@@ -152,12 +185,12 @@ def _fwd_call(x9q, wkt, b, gamma, C, Mq):
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, C, Mq), x9q.dtype),
+            jax.ShapeDtypeStruct((B, C, Mq), x16.dtype),
             jax.ShapeDtypeStruct((C, 1), jnp.float32),
             jax.ShapeDtypeStruct((C, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x9q, wkt, b.reshape(C, 1), gamma.reshape(C, 1).astype(jnp.float32))
+    )(x16, w16, b.reshape(C, 1), gamma.reshape(C, 1).astype(jnp.float32))
     return sel, s1[:, 0], s2[:, 0]
 
 
@@ -165,10 +198,10 @@ def _fwd_call(x9q, wkt, b, gamma, C, Mq):
 # backward
 # ---------------------------------------------------------------------------
 
-def _corners_dz(x9q_ref, wkt_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref):
+def _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref):
     """Recompute the corners and dzw_p = dp*e_p*relu'(z_p); returns
     (vs, xhats, dzs), lists of (C, Mq) fp32."""
-    vs = [_corner(x9q_ref, wkt_ref, b_ref, p) for p in range(4)]
+    vs = [_corner(x16_ref, w16_ref, b_ref, p) for p in range(4)]
     mu = st_ref[:, 0:1]
     r = st_ref[:, 1:2]                                 # rsqrt(var + eps)
     g = g_ref[:].astype(jnp.float32)                   # (C, 1)
@@ -188,51 +221,45 @@ def _corners_dz(x9q_ref, wkt_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref):
     return vs, xhats, dzs
 
 
-def _bwd_kernel(x9q_ref, wkt_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
-                t_ref, a1_ref, a3_ref, a2_ref):
-    """t (C, 3) = [T1, T2, Sx]; a1/a3 (C, 9); a2 (9, 1)."""
-    _vs, xhats, dzs = _corners_dz(x9q_ref, wkt_ref, b_ref, g_ref, be_ref,
+def _bwd_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
+                t_ref, g1_ref, g3_ref, r_ref):
+    """t (C, 3) = [T1, T2, Sx]; g1/g3 (4, C, 16); r (16, 1)."""
+    _vs, xhats, dzs = _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref,
                                   st_ref, dpt_ref)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         t_ref[:] = jnp.zeros_like(t_ref)
-        a1_ref[:] = jnp.zeros_like(a1_ref)
-        a3_ref[:] = jnp.zeros_like(a3_ref)
-        a2_ref[:] = jnp.zeros_like(a2_ref)
+        g1_ref[:] = jnp.zeros_like(g1_ref)
+        g3_ref[:] = jnp.zeros_like(g3_ref)
+        r_ref[:] = jnp.zeros_like(r_ref)
 
+    x16 = x16_ref[0].astype(jnp.float32)               # (16, Mq)
     dims = (((1,), (1,)), ((), ()))    # contract over Mq (lanes of both)
-    a1 = jnp.zeros((dzs[0].shape[0], 9), jnp.float32)
-    a3 = jnp.zeros_like(a1)
     t1 = jnp.zeros((dzs[0].shape[0], 1), jnp.float32)
     t2 = jnp.zeros_like(t1)
     sx = jnp.zeros_like(t1)
-    a2 = jnp.zeros((9, 1), jnp.float32)
     for p in range(4):
-        x9 = x9q_ref[0, p].astype(jnp.float32)         # (9, Mq)
-        a1 += jax.lax.dot_general(dzs[p], x9, dims,
-                                  preferred_element_type=jnp.float32)
-        a3 += jax.lax.dot_general(xhats[p], x9, dims,
-                                  preferred_element_type=jnp.float32)
+        g1_ref[p] += jax.lax.dot_general(
+            dzs[p], x16, dims, preferred_element_type=jnp.float32)
+        g3_ref[p] += jax.lax.dot_general(
+            xhats[p], x16, dims, preferred_element_type=jnp.float32)
         t1 += jnp.sum(dzs[p], axis=1, keepdims=True)
         t2 += jnp.sum(dzs[p] * xhats[p], axis=1, keepdims=True)
         sx += jnp.sum(xhats[p], axis=1, keepdims=True)
-        a2 += jnp.sum(x9, axis=1, keepdims=True)
     t_ref[:] += jnp.concatenate([t1, t2, sx], axis=1)
-    a1_ref[:] += a1
-    a3_ref[:] += a3
-    a2_ref[:] += a2
+    r_ref[:] += jnp.sum(x16, axis=1, keepdims=True)
 
 
-def _bwd_call(x9q, wkt, b, gamma, beta, mu, r, dpt, C, Mq):
-    B = x9q.shape[0]
+def _bwd_call(x16, w16, b, gamma, beta, mu, r, dpt, C, Mq):
+    B = x16.shape[0]
     stats = jnp.stack([mu, r], axis=1).astype(jnp.float32)   # (C, 2)
-    t, a1, a3, a2 = pl.pallas_call(
+    t, g1, g3, rsum = pl.pallas_call(
         _bwd_kernel,
         grid=(B // NB,),
         in_specs=[
-            pl.BlockSpec((NB, 4, 9, Mq), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((C, 9), lambda i: (0, 0)),
+            pl.BlockSpec((NB, 16, Mq), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
@@ -241,29 +268,34 @@ def _bwd_call(x9q, wkt, b, gamma, beta, mu, r, dpt, C, Mq):
         ],
         out_specs=[
             pl.BlockSpec((C, 3), lambda i: (0, 0)),
-            pl.BlockSpec((C, 9), lambda i: (0, 0)),
-            pl.BlockSpec((C, 9), lambda i: (0, 0)),
-            pl.BlockSpec((9, 1), lambda i: (0, 0)),
+            pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
+            pl.BlockSpec((16, 1), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, 3), jnp.float32),
-            jax.ShapeDtypeStruct((C, 9), jnp.float32),
-            jax.ShapeDtypeStruct((C, 9), jnp.float32),
-            jax.ShapeDtypeStruct((9, 1), jnp.float32),
+            jax.ShapeDtypeStruct((4, C, 16), jnp.float32),
+            jax.ShapeDtypeStruct((4, C, 16), jnp.float32),
+            jax.ShapeDtypeStruct((16, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x9q, wkt, b.reshape(C, 1), gamma.reshape(C, 1).astype(jnp.float32),
+    )(x16, w16, b.reshape(C, 1), gamma.reshape(C, 1).astype(jnp.float32),
       beta.reshape(C, 1).astype(jnp.float32), stats, dpt)
+    # assemble the per-tap sums from the 16-slot contractions (static
+    # gathers of tiny arrays — negligible XLA work)
+    a1 = sum(g1[p][:, U_MAP[p]] for p in range(4))     # (C, 9)
+    a3 = sum(g3[p][:, U_MAP[p]] for p in range(4))
+    a2 = sum(rsum[U_MAP[p], 0] for p in range(4))      # (9,)
     return t, a1, a3, a2
 
 
-def _dx_kernel(x9q_ref, wkt_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
+def _dx_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
                s_ref, dyt_ref):
     """Emits dyT (4, C, Mq) = per-corner dy; the caller scatters the taps
     back to input positions outside (tiny XLA formatting — dx is only live
     when the block input itself needs a gradient, which training never
     does for layer 0)."""
-    _vs, xhats, dzs = _corners_dz(x9q_ref, wkt_ref, b_ref, g_ref, be_ref,
+    _vs, xhats, dzs = _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref,
                                   st_ref, dpt_ref)
     t1 = s_ref[:, 0:1]
     t2 = s_ref[:, 1:2]
@@ -275,16 +307,16 @@ def _dx_kernel(x9q_ref, wkt_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
         dyt_ref[0, p] = dy.astype(dyt_ref.dtype)
 
 
-def _dx_call(x9q, wkt, b, gamma, beta, mu, r, t1, t2, n, dpt, H, W, C, Mq):
-    B = x9q.shape[0]
+def _dx_call(x16, w16, b, gamma, beta, mu, r, t1, t2, n, dpt, H, W, C, Mq):
+    B = x16.shape[0]
     stats = jnp.stack([mu, r], axis=1).astype(jnp.float32)
     sums = jnp.stack([t1, t2, jnp.full_like(t1, n)], axis=1).astype(jnp.float32)
     dyt = pl.pallas_call(
         _dx_kernel,
         grid=(B // NB,),
         in_specs=[
-            pl.BlockSpec((NB, 4, 9, Mq), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((C, 9), lambda i: (0, 0)),
+            pl.BlockSpec((NB, 16, Mq), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
             pl.BlockSpec((C, 1), lambda i: (0, 0)),
@@ -295,7 +327,7 @@ def _dx_call(x9q, wkt, b, gamma, beta, mu, r, t1, t2, n, dpt, H, W, C, Mq):
         out_specs=pl.BlockSpec((NB, 4, C, Mq), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 4, C, Mq), jnp.float32),
         interpret=_interpret(),
-    )(x9q, wkt, b.reshape(C, 1), gamma.reshape(C, 1).astype(jnp.float32),
+    )(x16, w16, b.reshape(C, 1), gamma.reshape(C, 1).astype(jnp.float32),
       beta.reshape(C, 1).astype(jnp.float32), stats, dpt, sums)
     # scatter dy back through the conv taps: dx[h, w] = sum_s dy_full[
     # h-dh+1, w-dw+1] * W[s], with dy_full rebuilt from the corner views
@@ -324,9 +356,10 @@ def _fwd_impl(x, kernel, bias, gamma, beta, eps):
     B, H, W, _ = x.shape
     C = kernel.shape[-1]
     Mq = (H // 2) * (W // 2)
-    x9q = _build_x9q(x[..., 0])
+    x16 = _build_x16(x[..., 0])
     wkt = kernel.reshape(9, C).T
-    sel, s1, s2 = _fwd_call(x9q, wkt, bias, gamma, C, Mq)
+    w16 = _fold_w16(wkt)
+    sel, s1, s2 = _fwd_call(x16, w16, bias, gamma, C, Mq)
     n = B * H * W
     mean = s1 / n
     var = s2 / n - mean * mean
@@ -338,7 +371,7 @@ def _fwd_impl(x, kernel, bias, gamma, beta, eps):
               .reshape(B, C, H // 2, W // 2)
               .transpose(0, 2, 3, 1)
               .astype(x.dtype))
-    res = (x9q, wkt, bias, gamma, beta, mean, r)
+    res = (x16, w16, wkt, bias, gamma, beta, mean, r)
     return (pooled, mean, var), res
 
 
@@ -348,17 +381,17 @@ def _fwd_rule(x, kernel, bias, gamma, beta, eps):
 
 def _bwd_rule(eps, res, cotangents):
     dpooled, _dmean, _dvar = cotangents       # mean/var feed non-diff buffers
-    x9q, wkt, bias, gamma, beta, mean, r = res
-    B = x9q.shape[0]
-    xdt = x9q.dtype
+    x16, w16, wkt, bias, gamma, beta, mean, r = res
+    B = x16.shape[0]
+    xdt = x16.dtype
     H2, W2, C = dpooled.shape[1:]
     H, W = 2 * H2, 2 * W2
     Mq = H2 * W2
     n = B * H * W
     dpt = dpooled.transpose(0, 3, 1, 2).reshape(B, C, Mq)
-    t, a1, a3, a2 = _bwd_call(x9q, wkt, bias, gamma, beta, mean, r, dpt, C, Mq)
+    t, a1, a3, a2 = _bwd_call(x16, w16, bias, gamma, beta, mean, r, dpt,
+                              C, Mq)
     t1, t2, sx = t[:, 0], t[:, 1], t[:, 2]
-    a2 = a2[:, 0]                              # (9,)
     g32 = gamma.astype(jnp.float32)
     rg = r * g32
     dW = (rg[:, None] * (a1 - a2[None, :] * (t1[:, None] / n)
@@ -366,7 +399,7 @@ def _bwd_rule(eps, res, cotangents):
     db = -(rg * sx * t2) / n
     dgamma = t2
     dbeta = t1
-    dy_full = _dx_call(x9q, wkt, bias, gamma, beta, mean, r, t1, t2, n, dpt,
+    dy_full = _dx_call(x16, w16, bias, gamma, beta, mean, r, t1, t2, n, dpt,
                        H, W, C, Mq)
     # dx[h, w] = sum_{s, c} dy_full[c, h-(dh-1), w-(dw-1)] * W[s, c]
     dyp = jnp.pad(dy_full, ((0, 0), (0, 0), (1, 1), (1, 1)))

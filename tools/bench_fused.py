@@ -1,4 +1,6 @@
 """Microbenchmarks for the fused conv-block kernels (ops/fused_conv.py):
+(x9q/wkt variable names predate the X16 layout: x9q holds X16 (B, 16, Mq)
+and wkt holds W16 (4, C, 16).)
 times each pallas_call and the X9 build in isolation with the slope method,
 so kernel iterations don't need a full train-step compile.
 
@@ -79,8 +81,8 @@ def main(argv=None):
     dp = jnp.asarray(rng.standard_normal((B, H // 2, W // 2, C)), dt)
 
     Mq = (H // 2) * (W // 2)
-    x9q = fc._build_x9q(x[..., 0])
-    wkt = k.reshape(9, C).T
+    x9q = fc._build_x16(x[..., 0])
+    wkt = fc._fold_w16(k.reshape(9, C).T)
     (pooled, mean, var), res = fc._fwd_impl(x, k, b, g, be, 1e-5)
     r = jax.lax.rsqrt(var + 1e-5)
     dpt = dp.transpose(0, 3, 1, 2).reshape(B, C, Mq)
@@ -93,7 +95,7 @@ def main(argv=None):
     if "build" in args.parts:
         def build(key, x):
             xx = x + jax.random.uniform(key, (1,), x.dtype)
-            a = fc._build_x9q(xx[..., 0])
+            a = fc._build_x16(xx[..., 0])
             return a.astype(jnp.float32).sum()
 
         run("x9q build", build, (x,))
