@@ -148,3 +148,21 @@ def test_pallas_fused_kernel_parity(spec, rng):
     out = np.asarray(log_mel_spectrogram_pallas(jnp.asarray(wav), spec))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_multipass_modes(spec, rng):
+    """Hand-rolled bf16 multi-pass modes vs the fp32 path: "precise"
+    (6-pass, 3-part splits — XLA HIGHEST's own decomposition) must sit in
+    the ~1e-5 band; "fast" (3-pass) in the documented 1.5e-4 band."""
+    import jax.numpy as jnp
+
+    from ssl_audio_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
+
+    wav = (0.3 * rng.standard_normal((2, 32000))).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(wav), spec))
+    precise = np.asarray(
+        log_mel_spectrogram_pallas(jnp.asarray(wav), spec, mode="precise"))
+    fast = np.asarray(
+        log_mel_spectrogram_pallas(jnp.asarray(wav), spec, mode="fast"))
+    np.testing.assert_allclose(precise, ref, atol=5e-5)
+    np.testing.assert_allclose(fast, ref, atol=5e-4)

@@ -73,6 +73,8 @@ def main(argv=None):
     for name, fn in [
         ("pallas", lambda w: log_mel_spectrogram_pallas(w, spec)),
         ("pallas_fast", lambda w: log_mel_spectrogram_pallas(w, spec, True)),
+        ("pallas_precise",
+         lambda w: log_mel_spectrogram_pallas(w, spec, mode="precise")),
         ("xla_fast", lambda w: log_mel_spectrogram(w, spec, True)),
     ]:
         got = np.asarray(fn(wavs[:8]))
@@ -84,6 +86,8 @@ def main(argv=None):
         ("xla_high", lambda w: log_mel_spectrogram(w, spec, True)),
         ("pallas_highest", lambda w: log_mel_spectrogram_pallas(w, spec)),
         ("pallas_high", lambda w: log_mel_spectrogram_pallas(w, spec, True)),
+        ("pallas_precise",
+         lambda w: log_mel_spectrogram_pallas(w, spec, mode="precise")),
     ]:
         dt = bench(fn, wavs, n_steps=args.n_steps)
         rows[name] = {"ms_per_step": round(dt * 1e3, 2),
