@@ -25,13 +25,16 @@ from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
 
 class ConvModelWrapper:
     def __init__(self, cfg, model_type: str, model_file_path: str,
-                 fast_mel: bool = False):
+                 fast_mel: bool = False, fetch_dtype: str = "float32"):
         self.cfg = cfg
         self.sample_rate = cfg.sample_rate
         # fast_mel: HIGH-precision (3-pass bf16) DFT for the feature
         # extraction contract — 1.5e-4 max log-mel error, measurably faster
         # on the timestamp path (PERF.md); exact HIGHEST otherwise
         self.fast_mel = fast_mel
+        # fetch_dtype="bfloat16": halve the timestamp-embedding fetch bytes
+        # (see hear/vit.py _timestamp_pipeline)
+        self.fetch_dtype = fetch_dtype
         if model_type == "resnet50":
             self.model = resnet_lib.resnet50()
         elif model_type == "resnet50_ReGP_NRF":
@@ -104,9 +107,11 @@ def load_model(
     model_type: str = "audiontt",
     cfg_path: str = "hear/config.yaml",
     fast_mel: bool = False,
+    fetch_dtype: str = "float32",
 ) -> ConvModelWrapper:
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
-    return ConvModelWrapper(cfg, model_type, model_file_path, fast_mel=fast_mel)
+    return ConvModelWrapper(cfg, model_type, model_file_path,
+                            fast_mel=fast_mel, fetch_dtype=fetch_dtype)
 
 
 def get_timestamp_embeddings(
@@ -128,9 +133,9 @@ def get_timestamp_embeddings(
     n_frames = N // n_sounds
 
     # single-jit device pipeline (see hear/vit.py _timestamp_pipeline)
-    from ssl_audio_tpu.hear.vit import _timestamp_pipeline
+    from ssl_audio_tpu.hear.vit import _fetch_embeddings, _timestamp_pipeline
 
-    emb = np.asarray(_timestamp_pipeline(
+    emb = _fetch_embeddings(_timestamp_pipeline(
         model, flat, N,
         encode_fn=lambda variables, m: model.model.apply(variables, m, train=False),
     ))

@@ -34,10 +34,12 @@ def _resolve_cfg_path(cfg_path: str) -> str:
 class ViTModelWrapper:
     """Holds the Flax ViT, its params, and the HEAR metadata attributes."""
 
-    def __init__(self, cfg, model_type: str, model_file_path: str, patch_size):
+    def __init__(self, cfg, model_type: str, model_file_path: str, patch_size,
+                 fetch_dtype: str = "float32"):
         self.cfg = cfg
         self.use_cls = True if cfg.get("use_cls") is None else cfg.use_cls
         self.sample_rate = cfg.sample_rate
+        self.fetch_dtype = fetch_dtype
         c = "vitc" in model_type
         size = model_type.split("_")[-1]
         self.model = vit_lib.get_mae_vit(size, patch_size, c)
@@ -132,10 +134,15 @@ def load_model(
     model_type: str = "vitc_base",
     patch_size: str = "16x8",
     cfg_path: str = "hear/config.yaml",
+    fetch_dtype: str = "float32",
 ) -> ViTModelWrapper:
+    """fetch_dtype="bfloat16" halves the timestamp-embedding device->host
+    transfer (the wall-clock bottleneck on remote-attached TPUs) at the
+    cost of rounding the returned embeddings to bf16 precision."""
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
     ps = [int(patch_size.split("x")[0]), int(patch_size.split("x")[-1])]
-    return ViTModelWrapper(cfg, model_type, model_file_path, ps)
+    return ViTModelWrapper(cfg, model_type, model_file_path, ps,
+                           fetch_dtype=fetch_dtype)
 
 
 def _as_numpy(audio) -> np.ndarray:
@@ -201,10 +208,16 @@ def _timestamp_pipeline(model, flat: jnp.ndarray, N: int, encode_fn=None) -> jnp
             )
             return units.mean(axis=1)
 
+    # fetch_dtype="bfloat16" casts the final embeddings on device so HALF
+    # the bytes cross the device->host link (the embeddings dominate the
+    # wall clock on remote-attached TPUs: 164 MB fp32 at ~12 MB/s vs 1.2 s
+    # of device compute for 64x10s clips, PERF.md).  Off by default — bf16
+    # rounds the embeddings to 8 mantissa bits.
+    fetch_dtype = getattr(model, "fetch_dtype", "float32")
     cache = getattr(model, "_ts_pipeline_cache", None)
     if cache is None:
         cache = model._ts_pipeline_cache = {}
-    key_shape = (flat.shape, N)
+    key_shape = (flat.shape, N, fetch_dtype)
     fn = cache.get(key_shape)
     if fn is None:
 
@@ -227,10 +240,21 @@ def _timestamp_pipeline(model, flat: jnp.ndarray, N: int, encode_fn=None) -> jnp
             std = jnp.sqrt(var) / N
 
             embs = jax.lax.map(lambda m: encode_fn(variables, (m - mean) / std), mels)
-            return embs.reshape(M, -1)
+            out = embs.reshape(M, -1)
+            if fetch_dtype == "bfloat16":
+                out = out.astype(jnp.bfloat16)
+            return out
 
         fn = cache[key_shape] = jax.jit(pipeline)
     return fn(model.variables, flat)
+
+
+def _fetch_embeddings(emb) -> np.ndarray:
+    """Device embeddings -> float32 numpy (bf16-fetched arrays upcast)."""
+    host = np.asarray(emb)
+    if host.dtype != np.float32:
+        host = host.astype(np.float32)
+    return host
 
 
 def get_timestamp_embeddings(
@@ -254,7 +278,7 @@ def get_timestamp_embeddings(
     # whole pipeline (mel -> reference-quirk stats -> normalize -> per-unit
     # CLS -> unit mean), chunked with lax.map inside ONE jit: a single
     # dispatch and a single host fetch of the final embeddings
-    emb = np.asarray(_timestamp_pipeline(model, flat, N))
+    emb = _fetch_embeddings(_timestamp_pipeline(model, flat, N))
     emb = emb[:N].reshape(n_sounds, n_frames, -1)
     return torch.from_numpy(emb).float(), timestamps
 

@@ -104,6 +104,19 @@ class TestConvAPI:
         assert emb.shape[0] == 1 and emb.shape[2] == 3072
         assert ts.shape == emb.shape[:2]
 
+    def test_bf16_fetch_close_to_fp32(self, conv_model, rng):
+        """fetch_dtype='bfloat16' (halves the device->host embedding
+        transfer) must return float32 tensors within bf16 rounding of the
+        default path."""
+        audio = torch.from_numpy(rng.standard_normal((1, 24000)).astype(np.float32))
+        ref, _ = hear_conv.get_timestamp_embeddings(audio, conv_model)
+        fast = hear_conv.load_model("", "audiontt", fetch_dtype="bfloat16")
+        fast.variables = conv_model.variables          # share weights
+        emb, _ = hear_conv.get_timestamp_embeddings(audio, fast)
+        assert emb.dtype == torch.float32
+        scale = ref.abs().max().item()
+        assert (emb - ref).abs().max().item() <= 2 ** -7 * scale
+
 
 class TestCheckpointLoading:
     def test_load_from_orbax_train_ckpt(self, tmp_path, rng):

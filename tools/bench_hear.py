@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--fetch_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     import numpy as np
@@ -36,11 +38,12 @@ def main(argv=None):
     if args.module == "conv":
         from ssl_audio_tpu.hear import conv as mod
 
-        model = mod.load_model("", args.model, fast_mel=args.fast_mel)
+        model = mod.load_model("", args.model, fast_mel=args.fast_mel,
+                               fetch_dtype=args.fetch_dtype)
     else:
         from ssl_audio_tpu.hear import vit as mod
 
-        model = mod.load_model("", args.model)
+        model = mod.load_model("", args.model, fetch_dtype=args.fetch_dtype)
 
     sr = model.sample_rate
     n = int(args.seconds * sr)
@@ -76,7 +79,8 @@ def main(argv=None):
 
     print(json.dumps({
         "module": args.module, "model": args.model,
-        "fast_mel": args.fast_mel, "n_clips": args.n_clips,
+        "fast_mel": args.fast_mel, "fetch_dtype": args.fetch_dtype,
+        "n_clips": args.n_clips,
         "results": results,
     }))
 
