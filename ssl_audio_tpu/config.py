@@ -149,6 +149,10 @@ class Config:
     # --- TPU-native extensions (no reference equivalent) ---
     # number of devices along the data mesh axis; 0 = all local devices
     data_axis_size: int = 0
+    # tensor-parallel degree: >1 selects a 2-D (data, model) mesh with
+    # Megatron-style sharding of the transformer Dense kernels
+    # (parallel/mesh.py TP_RULES); must divide the device count
+    model_parallel: int = 1
     # mixup memory-bank size (reference augmentations.py:96 n_memory=2048);
     # on-device ring buffer rows
     mixup_n_memory: int = 2048
@@ -274,6 +278,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--moving_average_decay", type=float, default=0.99)
     # TPU-native extensions
     p.add_argument("--data_axis_size", type=int, default=0)
+    p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--mixup_n_memory", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic_steps_per_epoch", type=int, default=100)

@@ -1,4 +1,4 @@
-"""Data-parallel mesh utilities.
+"""Data- and tensor-parallel mesh utilities.
 
 The reference's only parallelism is DDP over NCCL (SURVEY.md §2.3).  The
 TPU-native equivalent: a 1-D 'data' mesh; the batch is sharded over it and
@@ -6,9 +6,21 @@ parameters are replicated.  All three of the reference's hand-written
 collectives (DDP gradient all-reduce, the correlation-matrix all-reduce at
 loss.py:21, SyncBatchNorm) fall out automatically — any reduction over the
 batch axis of a sharded array is compiled by GSPMD into an on-ICI all-reduce.
+
+Beyond reference parity, `--model_parallel N` selects a 2-D (data, model)
+mesh with Megatron-style tensor parallelism over the transformer blocks:
+the qkv/fc1 Dense kernels are column-sharded and the proj/fc2 kernels
+row-sharded over the 'model' axis (TP_RULES), so each block needs exactly
+one all-reduce per fused pair — the collective GSPMD derives from the
+annotations.  Optimizer moments mirror the param shardings (each device
+stores only its kernel shards: TP also shards optimizer memory).  The model
+code is untouched — sharding lives entirely in the placement of the state
+pytree (state_shardings), the GSPMD recipe rather than hand-written
+collectives.
 """
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import jax
@@ -43,13 +55,86 @@ def init_distributed(cfg) -> None:
     )
 
 
-def get_mesh(n_devices: int = 0, devices=None) -> Mesh:
-    """1-D data mesh over the first n_devices local devices (0 = all)."""
+def get_mesh(n_devices: int = 0, model_parallel: int = 1, devices=None) -> Mesh:
+    """1-D 'data' mesh over the first n_devices local devices (0 = all), or
+    a 2-D (data, model) mesh when model_parallel > 1.  The model axis is the
+    fastest-varying (innermost) device dimension so tensor-parallel
+    collectives ride adjacent-chip ICI links on real TPU topologies."""
     if devices is None:
         devices = jax.devices()
     if n_devices and n_devices > 0:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), axis_names=("data",))
+    mp = max(int(model_parallel), 1)
+    if mp == 1:
+        return Mesh(np.asarray(devices), axis_names=("data",))
+    n = len(devices)
+    if n % mp:
+        raise ValueError(
+            f"--model_parallel {mp} must divide the device count {n}")
+    return Mesh(np.asarray(devices).reshape(n // mp, mp),
+                axis_names=("data", "model"))
+
+
+# Megatron-style tensor-parallel placement for the transformer blocks
+# (applies to MAE-ViT encoder AND decoder blocks — both use the same
+# attn/mlp param naming).  Column-parallel qkv/fc1 (shard the output
+# features), row-parallel proj/fc2 (shard the input features): activations
+# between the two halves of each pair stay sharded over 'model' with no
+# communication; GSPMD inserts one all-reduce after proj and one after fc2.
+# Biases of column-parallel layers shard with their features; everything
+# else (norms, embeddings, conv stems, heads, BN stats) is replicated.
+TP_RULES = (
+    (re.compile(r".*attn/qkv_kernel$"), P(None, "model")),
+    (re.compile(r".*attn/proj/kernel$"), P("model", None)),
+    (re.compile(r".*mlp/fc1/kernel$"), P(None, "model")),
+    (re.compile(r".*mlp/fc1/bias$"), P("model")),
+    (re.compile(r".*mlp/fc2/kernel$"), P("model", None)),
+)
+
+
+def _tp_spec(path: str, shape, n_model: int) -> P:
+    """PartitionSpec for one state leaf; replicated unless a TP rule matches
+    AND the sharded dimension is divisible by the model-axis size."""
+    for pat, spec in TP_RULES:
+        if pat.match(path):
+            for i, ax in enumerate(spec):
+                if ax == "model" and (i >= len(shape) or shape[i] % n_model):
+                    return P()
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    """'params/encoder/block0/mlp/fc1/kernel'-style key path (dict keys and
+    dataclass/namedtuple attrs normalized to '/')."""
+    return re.sub(r"\W+", "/", jax.tree_util.keystr(path)).strip("/")
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedSharding tree mirroring `state`: tensor-parallel specs for
+    transformer Dense kernels when the mesh has a 'model' axis, replicated
+    otherwise.  Matching is by key-path suffix, so the optimizer moments
+    (mu/nu mirror the param tree inside opt_state) and the BYOL target
+    params shard exactly like the params they track."""
+    if "model" not in mesh.axis_names:
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: rep, state)
+    n_model = mesh.shape["model"]
+
+    def leaf_sharding(path, leaf):
+        if hasattr(leaf, "shape"):
+            return NamedSharding(
+                mesh, _tp_spec(_path_str(path), leaf.shape, n_model))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
+
+
+def place_state(state, mesh: Mesh):
+    """device_put the train state with its TP/replicated shardings."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+        state, state_shardings(state, mesh))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

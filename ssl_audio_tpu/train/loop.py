@@ -123,8 +123,12 @@ class Trainer:
         )
         self.niter_per_ep = len(self.loader)
 
-        self.mesh = get_mesh(cfg.data_axis_size)
-        n_dev = self.mesh.devices.size
+        self.mesh = get_mesh(cfg.data_axis_size,
+                             getattr(cfg, "model_parallel", 1))
+        # world_scale reproduces the reference's world_size multiplier in the
+        # BT loss (loss.py:21) = the number of BATCH shards — the data-axis
+        # size, not the device count (model-parallel devices share a shard)
+        n_dev = self.mesh.shape["data"]
         self.mods, self.state = init_train_state(
             cfg, jax.random.key(cfg.seed), niter_per_ep=self.niter_per_ep, byol=byol
         )
@@ -177,12 +181,13 @@ class Trainer:
             self._token_L = gh * gw
 
     def _replicate(self, state):
-        """Place the train state replicated over the mesh (params live on
-        every device; the batch is the only sharded input)."""
-        sharding = replicated(self.mesh)
-        return jax.tree.map(
-            lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, state
-        )
+        """Place the train state on the mesh: replicated for a 1-D data
+        mesh; with --model_parallel the transformer Dense kernels (and their
+        optimizer moments) are tensor-parallel-sharded over the 'model' axis
+        (parallel/mesh.py state_shardings)."""
+        from ssl_audio_tpu.parallel import place_state
+
+        return place_state(state, self.mesh)
 
     def _check_monitor(self, monitor) -> float:
         """Fetch the device-side monitor; abort on any NaN since the last
