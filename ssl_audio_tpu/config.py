@@ -153,6 +153,10 @@ class Config:
     # Megatron-style sharding of the transformer Dense kernels
     # (parallel/mesh.py TP_RULES); must divide the device count
     model_parallel: int = 1
+    # ZeRO-3-style fully-sharded data parallelism: params + optimizer
+    # moments shard over the 'data' axis (GSPMD all-gathers params at use,
+    # reduce-scatters grads); composes with --model_parallel
+    fsdp: bool = False
     # mixup memory-bank size (reference augmentations.py:96 n_memory=2048);
     # on-device ring buffer rows
     mixup_n_memory: int = 2048
@@ -279,6 +283,7 @@ def build_argparser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--data_axis_size", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true", default=False)
     p.add_argument("--mixup_n_memory", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic_steps_per_epoch", type=int, default=100)

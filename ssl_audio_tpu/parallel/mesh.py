@@ -104,37 +104,82 @@ def _tp_spec(path: str, shape, n_model: int) -> P:
     return P()
 
 
+# Leaves smaller than this stay replicated under FSDP: all-gathering a tiny
+# bias costs more latency than its shard saves in HBM (ZeRO keeps the same
+# threshold concept; 16k fp32 = 64 KiB)
+FSDP_MIN_SIZE = 16384
+
+
+def _fsdp_spec(shape, n_data: int, size: int) -> P:
+    """ZeRO-3-style spec: shard the largest divisible dimension over 'data'.
+
+    GSPMD then emits exactly the ZeRO-3 schedule from the placement alone:
+    params all-gather just before use, gradients reduce-scatter, and the
+    AdamW moments (sharded the same way — they mirror the param tree) update
+    shard-locally.  Per-device optimizer+param memory drops ~n_data x."""
+    if size < FSDP_MIN_SIZE:
+        return P()
+    best, best_dim = -1, -1
+    for i, d in enumerate(shape):
+        if d % n_data == 0 and d > best:
+            best, best_dim = d, i
+    if best_dim < 0:
+        return P()
+    spec = [None] * len(shape)
+    spec[best_dim] = "data"
+    return P(*spec)
+
+
 def _path_str(path) -> str:
     """'params/encoder/block0/mlp/fc1/kernel'-style key path (dict keys and
     dataclass/namedtuple attrs normalized to '/')."""
     return re.sub(r"\W+", "/", jax.tree_util.keystr(path)).strip("/")
 
 
-def state_shardings(state, mesh: Mesh):
-    """NamedSharding tree mirroring `state`: tensor-parallel specs for
-    transformer Dense kernels when the mesh has a 'model' axis, replicated
-    otherwise.  Matching is by key-path suffix, so the optimizer moments
-    (mu/nu mirror the param tree inside opt_state) and the BYOL target
-    params shard exactly like the params they track."""
-    if "model" not in mesh.axis_names:
+# state sub-trees whose leaves are per-example, not per-parameter: the
+# mixup ring buffer and any carried batch-shaped state must NOT be
+# FSDP-sharded by the size heuristic (their leading axis is a bank/batch
+# axis, and they are not all-gathered params)
+_FSDP_SKIP = re.compile(r"(^|/)aug/")
+
+
+def state_shardings(state, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding tree mirroring `state`.
+
+    - 'model' mesh axis present -> Megatron tensor-parallel specs for the
+      transformer Dense kernels (TP_RULES).
+    - fsdp=True -> remaining large leaves shard over 'data' (ZeRO-3; see
+      _fsdp_spec).  Composes with TP: a 2-D mesh + fsdp gives
+      TP kernels + data-sharded everything-else.
+    - otherwise replicated.
+
+    Matching is by key-path suffix, so the optimizer moments (mu/nu mirror
+    the param tree inside opt_state) and the BYOL target params shard
+    exactly like the params they track."""
+    has_model = "model" in mesh.axis_names
+    if not has_model and not fsdp:
         rep = NamedSharding(mesh, P())
         return jax.tree.map(lambda _: rep, state)
-    n_model = mesh.shape["model"]
+    n_model = mesh.shape.get("model", 1)
+    n_data = mesh.shape["data"]
 
     def leaf_sharding(path, leaf):
-        if hasattr(leaf, "shape"):
-            return NamedSharding(
-                mesh, _tp_spec(_path_str(path), leaf.shape, n_model))
-        return NamedSharding(mesh, P())
+        if not hasattr(leaf, "shape"):
+            return NamedSharding(mesh, P())
+        pstr = _path_str(path)
+        spec = _tp_spec(pstr, leaf.shape, n_model) if has_model else P()
+        if fsdp and spec == P() and not _FSDP_SKIP.search(pstr):
+            spec = _fsdp_spec(leaf.shape, n_data, int(np.prod(leaf.shape)))
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
 
-def place_state(state, mesh: Mesh):
-    """device_put the train state with its TP/replicated shardings."""
+def place_state(state, mesh: Mesh, fsdp: bool = False):
+    """device_put the train state with its TP/FSDP/replicated shardings."""
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
-        state, state_shardings(state, mesh))
+        state, state_shardings(state, mesh, fsdp=fsdp))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -183,11 +183,13 @@ class Trainer:
     def _replicate(self, state):
         """Place the train state on the mesh: replicated for a 1-D data
         mesh; with --model_parallel the transformer Dense kernels (and their
-        optimizer moments) are tensor-parallel-sharded over the 'model' axis
-        (parallel/mesh.py state_shardings)."""
+        optimizer moments) are tensor-parallel-sharded over the 'model'
+        axis; with --fsdp the remaining large leaves are ZeRO-3-sharded over
+        'data' (parallel/mesh.py state_shardings)."""
         from ssl_audio_tpu.parallel import place_state
 
-        return place_state(state, self.mesh)
+        return place_state(state, self.mesh,
+                           fsdp=bool(getattr(self.cfg, "fsdp", False)))
 
     def _check_monitor(self, monitor) -> float:
         """Fetch the device-side monitor; abort on any NaN since the last

@@ -108,6 +108,42 @@ class TestTensorParallelStep:
         assert P(None, "model") in specs and P("model", None) in specs
 
 
+class TestFSDP:
+    def test_spec_rules(self):
+        from ssl_audio_tpu.parallel.mesh import _fsdp_spec
+
+        # largest divisible dim is sharded
+        assert _fsdp_spec((192, 768), 8, 192 * 768) == P(None, "data")
+        assert _fsdp_spec((768, 192), 8, 768 * 192) == P("data", None)
+        # too small / nothing divisible -> replicated
+        assert _fsdp_spec((64,), 8, 64) == P()
+        assert _fsdp_spec((1001, 30), 8, 30030) == P()
+
+    def test_fsdp_matches_dp(self, vit_setup):
+        cfg, mods, state, batch = vit_setup
+        step = make_train_step(mods, world_scale=8.0, donate=False)
+        mesh = get_mesh(8)
+
+        s_dp = place_state(state, mesh)
+        _, m_dp = step(s_dp, shard_batch(batch, mesh), jax.random.key(1), 0.3)
+
+        s_fs = place_state(state, mesh, fsdp=True)
+        assert _sharded_leaf_count(s_fs.params) > 12
+        # the mixup bank must NOT be sharded (per-example state, written by
+        # dynamic row index)
+        assert s_fs.aug.mixup.bank.sharding.is_fully_replicated
+        out_fs, m_fs = step(s_fs, shard_batch(batch, mesh),
+                            jax.random.key(1), 0.3)
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_fs["loss"]),
+                                   rtol=2e-5)
+        # moments stay sharded after the step (shard-local optimizer update)
+        n_opt = sum(
+            1 for leaf in jax.tree.leaves(out_fs.opt_state)
+            if hasattr(leaf, "sharding")
+            and not leaf.sharding.is_fully_replicated)
+        assert n_opt > 12
+
+
 class TestTrainerModelParallel:
     def test_one_epoch(self, tmp_path):
         from ssl_audio_tpu.train.loop import Trainer
