@@ -307,6 +307,7 @@ class AudioSetWav:
     replaces n_views host-side spectrogram copies."""
 
     returns_wav = True
+    supports_native = True   # C++ batch decode (native/wav_batch_loader.cc)
 
     def __init__(self, cfg, base_dir="data/audioset", balanced_only=False,
                  test=False, twohundredk_only=False, cap=int(2e5), seed=0):
@@ -345,14 +346,26 @@ class AudioSetWav:
     def __len__(self):
         return len(self.audio_fnames)
 
-    def __getitem__(self, idx):
+    def _label(self, idx) -> np.ndarray:
         y = np.zeros(self.label_num, np.float32)
         for s in self.labels[idx].split("#"):
             if s:
                 y[int(self.index_dict[s])] = 1.0
-        wav_path = os.path.join(
+        return y
+
+    def _wav_path(self, idx) -> str:
+        return os.path.join(
             self.base_dir, self.ident[idx], f"{self.audio_fnames[idx]}.wav"
         )
+
+    def batch_paths(self, batch_idx):
+        """(paths, labels) for the DataLoader's C++ wav fast path."""
+        return ([self._wav_path(i) for i in batch_idx],
+                [self._label(i) for i in batch_idx])
+
+    def __getitem__(self, idx):
+        y = self._label(idx)
+        wav_path = self._wav_path(idx)
         from scipy.io import wavfile
 
         sr, wav = wavfile.read(wav_path)

@@ -66,13 +66,22 @@ class DataLoader:
 
     def _native_reader(self):
         """C++ batch-assembly fast path: available when the dataset exposes
-        batch_paths() (pure `.npy` lms reads) and the native lib builds."""
+        batch_paths() and the native lib builds — `.npy` lms reads
+        (NativeBatchReader) or raw wav decodes (NativeWavReader, for
+        returns_wav datasets like AudioSetWav)."""
         if not getattr(self.dataset, "supports_native", False):
             return None
         try:
+            cfg = self.dataset.cfg
+            if getattr(self.dataset, "returns_wav", False):
+                from ssl_audio_tpu.data.native_loader import NativeWavReader
+
+                return NativeWavReader(
+                    self.dataset.unit_length, cfg.sample_rate,
+                    n_threads=self.num_workers,
+                )
             from ssl_audio_tpu.data.native_loader import NativeBatchReader
 
-            cfg = self.dataset.cfg
             norm = self.dataset.norm_stats or (0.0, 1.0)
             return NativeBatchReader(
                 cfg.n_mels, self.dataset.crop_frames, norm[0], norm[1],

@@ -117,3 +117,85 @@ class TestTrainerIntegration:
         tr = Trainer(c, data_dir=os.path.dirname(tree))
         loss = tr.train_one_epoch(1)
         assert np.isfinite(loss) and loss > 0
+
+
+class TestNativeWavLoader:
+    """C++ batch decoder (native/wav_batch_loader.cc) parity with the
+    Python item path (stereo->mono, int16 scaling, pad-both-ends, crop
+    window membership)."""
+
+    def test_available(self):
+        from ssl_audio_tpu.data import native_loader as nl
+
+        assert nl.native_wav_available()
+
+    def _full_decode(self, path):
+        from scipy.io import wavfile
+
+        _sr, data = wavfile.read(path)
+        data = data.astype(np.float32) / 32768.0
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        return data
+
+    def test_long_clip_is_contiguous_crop(self, tree):
+        from ssl_audio_tpu.data.native_loader import NativeWavReader
+
+        c = cfg()
+        ds = AudioSetWav(c, base_dir=tree)
+        paths, labels = ds.batch_paths(range(4))
+        r = NativeWavReader(ds.unit_length, c.sample_rate, n_threads=2)
+        out = r.read(paths, seed=3)
+        assert out.shape == (4, ds.unit_length) and out.dtype == np.float32
+        for row, path in zip(out, paths):
+            full = self._full_decode(path)          # 2 s > unit: crop
+            found = False
+            for start in range(len(full) - ds.unit_length + 1):
+                if abs(full[start] - row[0]) < 1e-7:
+                    if np.allclose(full[start:start + ds.unit_length], row,
+                                   atol=1e-7):
+                        found = True
+                        break
+            assert found, f"native crop of {path} is not a window of the wav"
+
+    def test_stereo_mono_and_pad_exact(self, tree):
+        """Short eval clips pad deterministically -> bit-level comparison
+        against the Python semantics; stereo balanced clips average."""
+        from ssl_audio_tpu.data.native_loader import NativeWavReader
+
+        c = cfg()
+        ds = AudioSetWav(c, base_dir=tree, test=True)        # 0.5 s clips
+        paths, _ = ds.batch_paths(range(2))
+        r = NativeWavReader(ds.unit_length, c.sample_rate)
+        out = r.read(paths, seed=0)
+        for row, path in zip(out, paths):
+            full = self._full_decode(path)
+            adj = ds.unit_length - len(full)
+            expect = np.pad(full, (adj // 2, adj - adj // 2))
+            np.testing.assert_allclose(row, expect, atol=1e-7)
+
+        ds2 = AudioSetWav(c, base_dir=tree, balanced_only=True)  # stereo
+        paths2, _ = ds2.batch_paths(range(2))
+        out2 = r.read(paths2, seed=0)
+        assert np.isfinite(out2).all() and (np.abs(out2) > 0).any()
+
+    def test_sample_rate_mismatch_raises(self, tree):
+        from ssl_audio_tpu.data.native_loader import NativeWavReader
+
+        c = cfg()
+        ds = AudioSetWav(c, base_dir=tree)
+        paths, _ = ds.batch_paths(range(2))
+        r = NativeWavReader(ds.unit_length, 32000)
+        with pytest.raises(IOError, match="failed on"):
+            r.read(paths, seed=0)
+
+    def test_dataloader_uses_native_path(self, tree):
+        from ssl_audio_tpu.data.pipeline import DataLoader
+
+        c = cfg()
+        ds = AudioSetWav(c, base_dir=tree)
+        dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+        assert dl._native_reader() is not None
+        xs, ys = next(iter(dl))
+        assert xs.shape == (4, ds.unit_length) and xs.dtype == np.float32
+        assert ys.shape == (4, 3)
