@@ -41,6 +41,29 @@ def fabricate_fsd50k(root: str, n_files: int, frames: int, seed: int = 0):
         csv.writer(f).writerows(rows)
 
 
+def fabricate_audioset_wav(root: str, n_files: int, seconds: float = 10.0,
+                           sr: int = 16000, seed: int = 0):
+    """AudioSet-layout wav tree: int16 mono clips + segment/label CSVs."""
+    from scipy.io import wavfile
+
+    base = os.path.join(root, "audioset")
+    ident = "unbalanced_train_segments"
+    os.makedirs(os.path.join(base, ident), exist_ok=True)
+    with open(os.path.join(base, "class_labels_indices.csv"), "w") as f:
+        f.write("index,mid,display_name\n")
+        for i in range(10):
+            f.write(f"{i},/m/{i},c{i}\n")
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    with open(os.path.join(base, f"{ident}-downloaded.csv"), "w") as f:
+        for i in range(n_files):
+            wav = (rng.standard_normal(n) * 3000).astype(np.int16)
+            wavfile.write(os.path.join(base, ident, f"w{i}.wav"), sr, wav)
+            f.write(f"w{i},/m/{i % 10},{ident}\n")
+    open(os.path.join(base, "balanced_train_segments-downloaded.csv"),
+         "w").close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", type=str, default="audiontt")
@@ -52,19 +75,34 @@ def main(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--wav", action="store_true", default=False,
+                   help="AudioSet wav tree + C++ wav decode + device "
+                        "frontend (the headline fused bf16 config)")
+    p.add_argument("--use_fp16", action="store_true", default=False)
+    # default None = the config's auto mode (fused kernel on real TPU)
+    p.add_argument("--fused_conv", action="store_true", default=None)
+    p.add_argument("--fast_mel", action="store_true", default=False)
     args = p.parse_args(argv)
 
     from ssl_audio_tpu.config import default_config
 
     tmp = args.data_dir or tempfile.mkdtemp(prefix="pipe_bench_")
-    print(f"fabricating {args.n_files} lms files under {tmp} ...")
-    fabricate_fsd50k(tmp, args.n_files, args.frames)
+    if args.wav:
+        print(f"fabricating {args.n_files} 10-s wavs under {tmp} ...")
+        fabricate_audioset_wav(tmp, args.n_files)
+    else:
+        print(f"fabricating {args.n_files} lms files under {tmp} ...")
+        fabricate_fsd50k(tmp, args.n_files, args.frames)
 
     cfg = default_config(
-        model_type=args.model, dataset="fsd50k", batch_size=args.batch,
+        model_type=args.model,
+        dataset="audioset_wav" if args.wav else "fsd50k",
+        batch_size=args.batch,
         epochs=args.epochs, num_workers=args.num_workers, no_eval=True,
         steps_per_dispatch=args.steps_per_dispatch,
         mask=args.mask, mask_ratio=0.3 if args.mask else 0.0,
+        use_fp16=args.use_fp16, fused_conv=args.fused_conv,
+        fast_mel=args.fast_mel,
     )
     from ssl_audio_tpu.train.loop import Trainer
 
