@@ -144,6 +144,38 @@ class TestFSDP:
         assert n_opt > 12
 
 
+class TestShardedCheckpoint:
+    def test_roundtrip_under_tp_fsdp(self, vit_setup, tmp_path):
+        """Resume of a sharded run: device_get gathers the TP+FSDP shards,
+        Orbax round-trips the host tree, and place_state re-shards — the
+        restored params must equal the saved ones exactly and come back
+        sharded."""
+        import os
+
+        from ssl_audio_tpu.utils import checkpoint as ckpt_lib
+
+        cfg, mods, state, batch = vit_setup
+        mesh = get_mesh(8, model_parallel=2)
+        step = make_train_step(mods, world_scale=4.0, donate=False)
+        s = place_state(state, mesh, fsdp=True)
+        s, _ = step(s, shard_batch(batch, mesh), jax.random.key(1), 0.3)
+
+        path = os.path.join(str(tmp_path), "ckpt")
+        host = jax.device_get(s)
+        ckpt_lib.save_checkpoint(path, host, epoch=1)
+        restored, next_epoch = ckpt_lib.load_checkpoint(path, host)
+        assert next_epoch == 1
+
+        r = place_state(restored, mesh, fsdp=True)
+        a = s.params["encoder"]["block0"]["attn"]["qkv_kernel"]
+        b = r.params["encoder"]["block0"]["attn"]["qkv_kernel"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not b.sharding.is_fully_replicated
+        # and the resumed state steps again (same compiled signature)
+        r2, m = step(r, shard_batch(batch, mesh), jax.random.key(2), 0.3)
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestTrainerModelParallel:
     def test_one_epoch(self, tmp_path):
         from ssl_audio_tpu.train.loop import Trainer
