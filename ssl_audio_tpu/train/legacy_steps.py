@@ -59,6 +59,13 @@ class LegacyModules:
             raise ValueError(method)
 
     def encoder_fwd(self, params, bs, x, rngs=None):
+        # --use_fp16: same AMP-style bfloat16 encoder forward as the main
+        # path (train/state.py apply_encoder) — fp32 master params, heads
+        # and losses kept in fp32
+        fp16 = bool(getattr(self.cfg, "use_fp16", False))
+        if fp16:
+            params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+            x = x.astype(jnp.bfloat16)
         variables = {"params": params}
         if bs:
             variables["batch_stats"] = bs
@@ -66,7 +73,12 @@ class LegacyModules:
         out, mut = self.encoder.apply(
             variables, x, train=True, mutable=["batch_stats"], rngs=rngs, **kwargs
         )
-        return out, mut.get("batch_stats", bs)
+        new_bs = mut.get("batch_stats", bs)
+        if fp16:
+            out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
+            if new_bs:
+                new_bs = jax.tree.map(lambda s: s.astype(jnp.float32), new_bs)
+        return out, new_bs
 
     def head_fwd(self, module, params, bs, x):
         variables = {"params": params}

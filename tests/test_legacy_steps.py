@@ -178,3 +178,20 @@ class TestForwardViz:
                         r[0, 0, i*16:(i+1)*16, j*16:(j+1)*16],
                         xi[0, 0, i*16:(i+1)*16, j*16:(j+1)*16], atol=1e-6,
                     )
+
+
+class TestLegacyFp16:
+    def test_byola_bf16_matches_fp32(self, rng):
+        """--use_fp16 legacy encoder forward (AMP-style bfloat16, fp32
+        master params — train/legacy_steps.py encoder_fwd) must produce a
+        finite loss close to the fp32 step's."""
+        b = batch(rng)
+        losses = {}
+        for fp16 in (False, True):
+            cfg = tiny_cfg(use_fp16=fp16)
+            mods, state = init_legacy_state(cfg, jax.random.key(0), "byola")
+            step = make_byola_train_step(mods)
+            _, m = step(state, b, jax.random.key(1), np.float32(0.0))
+            losses[fp16] = float(m["loss"])
+        assert np.isfinite(losses[True])
+        assert abs(losses[True] - losses[False]) <= 0.05 * abs(losses[False])

@@ -17,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(method: str, batch_size: int, n: int = 20, reps: int = 3):
+def measure(method: str, batch_size: int, n: int = 20, reps: int = 3,
+            use_fp16: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -28,7 +29,8 @@ def measure(method: str, batch_size: int, n: int = 20, reps: int = 3):
                                                   make_byola_train_step,
                                                   make_dino_train_step)
 
-    cfg = default_config(model_type="audiontt", batch_size=batch_size)
+    cfg = default_config(model_type="audiontt", batch_size=batch_size,
+                         use_fp16=use_fp16)
     mods, state = init_legacy_state(cfg, jax.random.key(0), method)
     if method == "dino":
         step = make_dino_train_step(mods)
@@ -81,10 +83,12 @@ def main(argv=None):
     p.add_argument("--methods", nargs="+", default=["dino", "byola"])
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--n", type=int, default=20)
+    p.add_argument("--use_fp16", action="store_true", default=False)
     args = p.parse_args(argv)
     rows = []
     for m in args.methods:
-        r = measure(m, args.batch, n=args.n)
+        r = measure(m, args.batch, n=args.n, use_fp16=args.use_fp16)
+        r["use_fp16"] = args.use_fp16
         rows.append(r)
         print(json.dumps(r))
     return rows
