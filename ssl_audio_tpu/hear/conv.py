@@ -44,7 +44,12 @@ class ConvModelWrapper:
         elif model_type == "resnet18_ReGP_NRF":
             self.model = resnet_lib.resnet18_ReGP_NRF()
         elif model_type == "audiontt":
-            self.model = audiontt_lib.AudioNTT2022()
+            # same auto rule as models/wrapper.py: the Pallas fused conv
+            # block wins on a single TPU chip; interpret mode on CPU and
+            # multi-chip GSPMD placements keep the XLA composition
+            fused = (jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
+            self.model = audiontt_lib.AudioNTT2022(fused_conv=fused)
         else:
             raise NotImplementedError(f"Model type {model_type} is not supported")
         self.model_type = model_type

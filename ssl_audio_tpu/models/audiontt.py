@@ -14,7 +14,6 @@ Architecture (n_mels=64, d=3072):
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 
@@ -88,9 +87,13 @@ class AudioNTT2022Encoder(nn.Module):
 
     def _fused_block(self, h: jnp.ndarray, i: int, train: bool) -> jnp.ndarray:
         """Same math as the unfused block below: fused kernel in training
-        mode (batch stats + running-average update), plain jnp composition
-        in eval mode (running stats — no pallas needed there)."""
-        from ssl_audio_tpu.ops.fused_conv import fused_conv1_bn_relu_pool
+        mode (batch stats + running-average update) and in eval mode
+        (running stats — the HEAR timestamp path forwards ~13k frames
+        through this block per call)."""
+        from ssl_audio_tpu.ops.fused_conv import (
+            fused_conv1_bn_relu_pool,
+            fused_conv1_bn_relu_pool_eval,
+        )
 
         kernel, cbias = _ConvParams(self.base_d, h.shape[-1],
                                     name=f"Conv_{i}")()
@@ -104,13 +107,8 @@ class AudioNTT2022Encoder(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
             return pooled
-        y = jax.lax.conv_general_dilated(
-            h, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + cbias
-        z = scale * (y - ra_mean.value) * jax.lax.rsqrt(ra_var.value + 1e-5) \
-            + bbias
-        return nn.max_pool(nn.relu(z), (2, 2), strides=(2, 2))
+        return fused_conv1_bn_relu_pool_eval(
+            h, kernel, cbias, scale, bbias, ra_mean.value, ra_var.value)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:

@@ -375,6 +375,36 @@ def _fwd_impl(x, kernel, bias, gamma, beta, eps):
     return (pooled, mean, var), res
 
 
+def fused_conv1_bn_relu_pool_eval(x, kernel, bias, gamma, beta, mean, var,
+                                  eps=1e-5):
+    """Inference-mode block: conv + BN with RUNNING stats + relu + maxpool,
+    forward only (no custom_vjp — eval paths never differentiate it).
+
+    Same monotonicity argument as training: z = gamma*(y-mean)*r + beta is
+    monotone in y with direction sign(gamma), so pool(relu(z)) ==
+    relu(affine(per-window extreme)) and the full-resolution conv activation
+    never exists.  This is what the HEAR conv timestamp path forwards ~13k
+    (64, 96) frames through per call (reference hear/sample/conv.py:109-126),
+    where XLA's eval composition round-trips the (B, F, T, C) activation
+    through HBM ~3x.
+
+    x (B, H, W, 1) -> (B, H/2, W/2, C); H, W even; kernel (3, 3, 1, C)."""
+    B, H, W, _ = x.shape
+    C = kernel.shape[-1]
+    Mq = (H // 2) * (W // 2)
+    x16 = _build_x16(x[..., 0])
+    w16 = _fold_w16(kernel.reshape(9, C).T)
+    sel, _s1, _s2 = _fwd_call(x16, w16, bias, gamma, C, Mq)
+    r = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    g32 = gamma.astype(jnp.float32)
+    z = (g32[:, None] * (sel.astype(jnp.float32) - mean.astype(jnp.float32)[:, None])
+         * r[:, None] + beta.astype(jnp.float32)[:, None])
+    return (jnp.maximum(z, 0.0)
+            .reshape(B, C, H // 2, W // 2)
+            .transpose(0, 2, 3, 1)
+            .astype(x.dtype))
+
+
 def _fwd_rule(x, kernel, bias, gamma, beta, eps):
     return _fwd_impl(x, kernel, bias, gamma, beta, eps)
 

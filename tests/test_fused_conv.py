@@ -122,14 +122,40 @@ class TestModuleIntegration:
             mut_f["batch_stats"], mut_p["batch_stats"])
 
     def test_eval_mode_parity(self, rng):
+        """Eval mode runs the forward-only Pallas kernel with RUNNING stats
+        (the HEAR conv path); a train step first makes the stats non-trivial."""
         plain, fused = self._models()
         x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
         variables = plain.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             x, train=False)
+        _, mut = plain.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)})
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
         out_p = plain.apply(variables, x, train=False)
         out_f = fused.apply(variables, x, train=False)
         np.testing.assert_allclose(out_f, out_p, atol=1e-5, rtol=1e-5)
+
+    def test_eval_kernel_unit(self, rng):
+        """fused_conv1_bn_relu_pool_eval vs the eval composition directly,
+        with arbitrary (non-init) running stats."""
+        from ssl_audio_tpu.ops.fused_conv import fused_conv1_bn_relu_pool_eval
+
+        x, k, b, g, be = make_inputs(rng, ties=True)
+        mean = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+        var = jnp.asarray((0.5 + rng.random(64)).astype(np.float32))
+        out_f = fused_conv1_bn_relu_pool_eval(x, k, b, g, be, mean, var)
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        z = g * (y - mean) * jax.lax.rsqrt(var + 1e-5) + be
+        out_r = jax.lax.reduce_window(
+            jax.nn.relu(z), -jnp.inf, jax.lax.max,
+            (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        np.testing.assert_allclose(out_f, out_r, atol=1e-5, rtol=1e-5)
 
     def test_train_step_loss_parity(self):
         """Full BT train step with --fused_conv matches the unfused step."""
