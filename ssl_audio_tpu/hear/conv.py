@@ -25,7 +25,8 @@ from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
 
 class ConvModelWrapper:
     def __init__(self, cfg, model_type: str, model_file_path: str,
-                 fast_mel: bool = False, fetch_dtype: str = "float32"):
+                 fast_mel: bool = False, fetch_dtype: str = "float32",
+                 fused_conv: bool | None = None):
         self.cfg = cfg
         self.sample_rate = cfg.sample_rate
         # fast_mel: HIGH-precision (3-pass bf16) DFT for the feature
@@ -44,12 +45,13 @@ class ConvModelWrapper:
         elif model_type == "resnet18_ReGP_NRF":
             self.model = resnet_lib.resnet18_ReGP_NRF()
         elif model_type == "audiontt":
-            # same auto rule as models/wrapper.py: the Pallas fused conv
-            # block wins on a single TPU chip; interpret mode on CPU and
-            # multi-chip GSPMD placements keep the XLA composition
-            fused = (jax.default_backend() == "tpu"
-                     and jax.device_count() == 1)
-            self.model = audiontt_lib.AudioNTT2022(fused_conv=fused)
+            # fused_conv here = the EVAL-mode Pallas block; default OFF —
+            # measured A/B on the timestamp surface (64x10s, fast_mel,
+            # 2026-08-17): XLA eval composition 10.6 clips/s vs fused 7.0.
+            # The opt-in remains for locally-attached chips where the
+            # embedding fetch doesn't dominate the wall clock.
+            self.model = audiontt_lib.AudioNTT2022(
+                fused_conv_eval=bool(fused_conv))
         else:
             raise NotImplementedError(f"Model type {model_type} is not supported")
         self.model_type = model_type
@@ -113,10 +115,12 @@ def load_model(
     cfg_path: str = "hear/config.yaml",
     fast_mel: bool = False,
     fetch_dtype: str = "float32",
+    fused_conv: bool | None = None,
 ) -> ConvModelWrapper:
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
     return ConvModelWrapper(cfg, model_type, model_file_path,
-                            fast_mel=fast_mel, fetch_dtype=fetch_dtype)
+                            fast_mel=fast_mel, fetch_dtype=fetch_dtype,
+                            fused_conv=fused_conv)
 
 
 def get_timestamp_embeddings(

@@ -84,12 +84,17 @@ class AudioNTT2022Encoder(nn.Module):
     # materializes the (B, F, T, base_d) activation XLA round-trips ~5x
     # (PERF.md r3 trace: ~14.4 of 26.2 ms fp32 at B=256)
     fused_conv: bool = False
+    # Eval-mode (running-stats) fused forward: measured SLOWER end-to-end on
+    # the HEAR conv timestamp surface through the remote tunnel (7.0 vs 10.6
+    # clips/s, PERF.md 2026-08-17) — XLA's forward-only composition has far
+    # fewer HBM round-trips than training, so the kernel's traffic win
+    # doesn't cover the X16 build there.  Opt-in only.
+    fused_conv_eval: bool = False
 
     def _fused_block(self, h: jnp.ndarray, i: int, train: bool) -> jnp.ndarray:
         """Same math as the unfused block below: fused kernel in training
-        mode (batch stats + running-average update) and in eval mode
-        (running stats — the HEAR timestamp path forwards ~13k frames
-        through this block per call)."""
+        mode (batch stats + running-average update), forward-only kernel
+        with running stats in eval mode."""
         from ssl_audio_tpu.ops.fused_conv import (
             fused_conv1_bn_relu_pool,
             fused_conv1_bn_relu_pool_eval,
@@ -115,7 +120,8 @@ class AudioNTT2022Encoder(nn.Module):
         """x: (B, 1, F, T) -> frame embeddings (B, T', d)."""
         h = jnp.transpose(x, (0, 2, 3, 1))                    # NHWC (B, F, T, 1)
         for i in range(self.conv_layers):
-            if self.fused_conv and h.shape[-1] == 1 \
+            use_fused = self.fused_conv if train else self.fused_conv_eval
+            if use_fused and h.shape[-1] == 1 \
                     and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0:
                 h = self._fused_block(h, i, train)
                 if self.squeeze_excitation:
@@ -158,6 +164,7 @@ class AudioNTT2022(nn.Module):
     mlp_hidden_d: int = 2048
     squeeze_excitation: bool = False
     fused_conv: bool = False
+    fused_conv_eval: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -171,6 +178,7 @@ class AudioNTT2022(nn.Module):
             mlp_hidden_d=self.mlp_hidden_d,
             squeeze_excitation=self.squeeze_excitation,
             fused_conv=self.fused_conv,
+            fused_conv_eval=self.fused_conv_eval,
             name="encoder",
         )(x, train=train)
         return mean_max_pooling(frames)

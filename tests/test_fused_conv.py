@@ -122,9 +122,11 @@ class TestModuleIntegration:
             mut_f["batch_stats"], mut_p["batch_stats"])
 
     def test_eval_mode_parity(self, rng):
-        """Eval mode runs the forward-only Pallas kernel with RUNNING stats
-        (the HEAR conv path); a train step first makes the stats non-trivial."""
-        plain, fused = self._models()
+        """fused_conv_eval routes eval mode through the forward-only Pallas
+        kernel with RUNNING stats (opt-in; the HEAR conv wrapper's
+        fused_conv kwarg); a train step first makes the stats non-trivial."""
+        plain = AudioNTT2022(fused_conv=False)
+        fused = AudioNTT2022(fused_conv=True, fused_conv_eval=True)
         x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
         variables = plain.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},

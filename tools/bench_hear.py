@@ -30,6 +30,13 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--fetch_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fused_conv", action="store_true", default=None)
+    p.add_argument("--no_fused_conv", dest="fused_conv", action="store_false")
+    # --device_only: time the timestamp pipeline's DEVICE compute with a
+    # scalar-checksum fetch, excluding the ~160 MB embedding download that
+    # dominates end-to-end wall clock through a remote-attached tunnel
+    # (irrelevant on locally-attached chips)
+    p.add_argument("--device_only", action="store_true", default=False)
     args = p.parse_args(argv)
 
     import numpy as np
@@ -39,7 +46,8 @@ def main(argv=None):
         from ssl_audio_tpu.hear import conv as mod
 
         model = mod.load_model("", args.model, fast_mel=args.fast_mel,
-                               fetch_dtype=args.fetch_dtype)
+                               fetch_dtype=args.fetch_dtype,
+                               fused_conv=args.fused_conv)
     else:
         from ssl_audio_tpu.hear import vit as mod
 
@@ -52,6 +60,46 @@ def main(argv=None):
     def clips(seed):
         return torch.from_numpy(
             (rng.standard_normal((args.n_clips, n)) * 0.1).astype(np.float32))
+
+    if args.device_only:
+        import jax.numpy as jnp
+
+        from ssl_audio_tpu.hear.vit import (
+            _frame_audio_on_device,
+            _timestamp_pipeline,
+        )
+
+        if args.module == "conv":
+            encode_fn = lambda variables, m: model.model.apply(
+                variables, m, train=False)
+        else:
+            encode_fn = None
+        cfg = model.cfg
+        frame_size = int((mod.TIMESTAMP_FRAME_DUR / 1000) * cfg.sample_rate)
+
+        def fn(a):
+            flat, _ts, N = _frame_audio_on_device(
+                np.asarray(a), frame_size, mod.TIMESTAMP_HOP_SIZE,
+                cfg.sample_rate)
+            emb = _timestamp_pipeline(model, flat, N, encode_fn=encode_fn)
+            return float(jnp.sum(emb.astype(jnp.float32)))
+
+        fn(clips(0))  # compile + warm
+        best = float("inf")
+        for r in range(args.reps):
+            a = clips(r + 1)
+            t0 = time.time()
+            fn(a)
+            best = min(best, time.time() - t0)
+        row = {"clips_per_sec": round(args.n_clips / best, 1),
+               "ms_total": round(best * 1e3, 1)}
+        print(json.dumps({
+            "module": args.module, "model": args.model,
+            "fast_mel": args.fast_mel, "fused_conv": args.fused_conv,
+            "n_clips": args.n_clips, "device_only": True,
+            "results": {"timestamp_device": row},
+        }))
+        return
 
     results = {}
     for name, fn in [
