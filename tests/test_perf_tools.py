@@ -44,3 +44,13 @@ class TestPerfTools:
               "--seconds", "1", "--reps", "1"])
         out = capsys.readouterr().out
         assert '"clips_per_sec"' in out
+
+    def test_bench_hear_device_only_smoke(self, capsys):
+        """--device_only times the timestamp pipeline with a checksum fetch;
+        --fused_conv exercises the opt-in eval kernel route."""
+        _run("tools/bench_hear.py",
+             ["--module", "conv", "--model", "audiontt", "--n_clips", "2",
+              "--seconds", "1", "--reps", "1", "--device_only",
+              "--fused_conv"])
+        out = capsys.readouterr().out
+        assert '"timestamp_device"' in out
