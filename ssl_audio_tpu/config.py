@@ -117,6 +117,13 @@ class Config:
     # multi-chip GSPMD mesh the opaque kernel forces the batch to gather).
     # --fused_conv / --no_fused_conv force it.
     fused_conv: bool | None = None
+    # Monotone pool-reorder for the AudioNTT conv blocks the Pallas kernel
+    # doesn't take (block 2): identical math — pool(relu(bn(y))) ==
+    # relu(bn(sign_aware_pool(y))) — with the BN/ReLU epilogue and backward
+    # on the 4x-smaller pooled tensor (models/audiontt.py).  None = auto:
+    # on for TPU training (pure XLA ops, GSPMD-shardable), off on CPU so
+    # test oracles keep the literal flax composition.
+    pool_reorder: bool | None = None
     # Wav-domain training frontend DFT/mel matmul precision: True runs the
     # three GEMMs at lax.Precision.HIGH (bf16x3, ~2e-4 rel log-mel error —
     # the same mode the HEAR fast_mel path ships) instead of HIGHEST.
@@ -263,6 +270,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=1)
     p.add_argument("--fused_conv", action="store_true", default=None)
     p.add_argument("--no_fused_conv", dest="fused_conv", action="store_false")
+    p.add_argument("--pool_reorder", action="store_true", default=None)
+    p.add_argument("--no_pool_reorder", dest="pool_reorder",
+                   action="store_false")
     p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)
     p.add_argument("--use_cls", action="store_true", default=True)

@@ -26,7 +26,8 @@ from ssl_audio_tpu.ops.mel import MelSpec, log_mel_spectrogram
 class ConvModelWrapper:
     def __init__(self, cfg, model_type: str, model_file_path: str,
                  fast_mel: bool = False, fetch_dtype: str = "float32",
-                 fused_conv: bool | None = None):
+                 fused_conv: bool | None = None,
+                 pool_reorder: bool | None = None):
         self.cfg = cfg
         self.sample_rate = cfg.sample_rate
         # fast_mel: HIGH-precision (3-pass bf16) DFT for the feature
@@ -50,8 +51,15 @@ class ConvModelWrapper:
             # 2026-08-17): XLA eval composition 10.6 clips/s vs fused 7.0.
             # The opt-in remains for locally-attached chips where the
             # embedding fetch doesn't dominate the wall clock.
+            # pool_reorder = the XLA-level monotone pool-before-BN eval
+            # path (models/audiontt.py pool_reorder_eval): default OFF —
+            # measured A/B on the timestamp surface (64x10s, fast_mel,
+            # 2026-08-17): XLA eval composition 11.6 clips/s vs reorder 9.6
+            # (scene 64.9 vs 71.3, inside the ±10% band).  Like the eval
+            # fused kernel, the forward-only composition is already lean.
             self.model = audiontt_lib.AudioNTT2022(
-                fused_conv_eval=bool(fused_conv))
+                fused_conv_eval=bool(fused_conv),
+                pool_reorder_eval=bool(pool_reorder))
         else:
             raise NotImplementedError(f"Model type {model_type} is not supported")
         self.model_type = model_type
@@ -116,11 +124,12 @@ def load_model(
     fast_mel: bool = False,
     fetch_dtype: str = "float32",
     fused_conv: bool | None = None,
+    pool_reorder: bool | None = None,
 ) -> ConvModelWrapper:
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
     return ConvModelWrapper(cfg, model_type, model_file_path,
                             fast_mel=fast_mel, fetch_dtype=fetch_dtype,
-                            fused_conv=fused_conv)
+                            fused_conv=fused_conv, pool_reorder=pool_reorder)
 
 
 def get_timestamp_embeddings(

@@ -14,6 +14,7 @@ Architecture (n_mels=64, d=3072):
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -90,6 +91,66 @@ class AudioNTT2022Encoder(nn.Module):
     # fewer HBM round-trips than training, so the kernel's traffic win
     # doesn't cover the X16 build there.  Opt-in only.
     fused_conv_eval: bool = False
+    # Monotone pool-reorder for the TRAINING blocks the Pallas kernel
+    # doesn't take (any Cin — i.e. block 2): pool(relu(bn(y))) ==
+    # relu(bn(sign_aware_pool(y))) because the BN affine + ReLU are monotone
+    # in y with direction sign(gamma), so the normalize/ReLU epilogue and
+    # their backward run on the 4x-smaller pooled tensor.  Batch stats still
+    # reduce over the full conv output; gradient routing is bit-identical
+    # (select-and-scatter first-extreme on y picks the same window element
+    # flax's pool-on-relu(z) picks, and the relu' masks coincide — ties in z
+    # are ties in y at the same positions, and all-negative windows get zero
+    # gradient either way).  A full block-2 Pallas kernel was rejected by
+    # arithmetic: with Cin=64 the X16 view build is a 16x input-byte blow-up
+    # (~3.2 GB/step written+read at B=256 x 2 views, ~4 ms at HBM speed) —
+    # several times the whole block-2 non-GEMM budget (PERF.md r3).
+    pool_reorder: bool = False
+    # Eval-mode reorder (running stats, no full-size epilogue at all):
+    # measured SLOWER on the HEAR conv timestamp surface (9.6 vs 11.6
+    # clips/s, 2026-08-17) — like the eval fused kernel, XLA's forward-only
+    # composition is already lean and the sign multiplies + separate pool
+    # break its fusion.  Opt-in only.
+    pool_reorder_eval: bool = False
+
+    def _reordered_block(self, h: jnp.ndarray, i: int,
+                         train: bool) -> jnp.ndarray:
+        """Conv block with the pool moved BEFORE the BN affine + ReLU (same
+        math as the unfused composition below; see the pool_reorder attribute
+        docstring).  Training mode reduces batch stats over the full conv
+        output (fp32, biased variance — flax _compute_stats semantics) and
+        folds them into the running averages; eval mode uses the running
+        stats directly and touches nothing full-size past the pool.  The
+        epilogue mirrors ops/fused_conv._fwd_impl exactly (flax-parity-tested
+        there)."""
+        kernel, cbias = _ConvParams(self.base_d, h.shape[-1],
+                                    name=f"Conv_{i}")()
+        scale, bbias, ra_mean, ra_var = _BNParams(self.base_d,
+                                                  name=f"BatchNorm_{i}")()
+        y = jax.lax.conv_general_dilated(
+            h, kernel.astype(h.dtype), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cbias.astype(h.dtype)
+        if train:
+            y32 = y.astype(jnp.float32)
+            mean = jnp.mean(y32, axis=(0, 1, 2))
+            var = jnp.mean(y32 * y32, axis=(0, 1, 2)) - mean * mean
+            if self.is_mutable_collection("batch_stats"):
+                m = 0.9
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        # per-window extreme of y: max where gamma > 0, min otherwise
+        s = jnp.where(scale > 0, 1.0, -1.0).astype(y.dtype)
+        ps = s * jax.lax.reduce_window(
+            y * s, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        # BN affine + ReLU on the pooled extremes only
+        r = jax.lax.rsqrt(var + 1e-5)
+        g32 = scale.astype(jnp.float32)
+        z = g32 * (ps.astype(jnp.float32) - mean) * r \
+            + bbias.astype(jnp.float32)
+        return jnp.maximum(z, 0.0).astype(h.dtype)
 
     def _fused_block(self, h: jnp.ndarray, i: int, train: bool) -> jnp.ndarray:
         """Same math as the unfused block below: fused kernel in training
@@ -124,6 +185,14 @@ class AudioNTT2022Encoder(nn.Module):
             if use_fused and h.shape[-1] == 1 \
                     and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0:
                 h = self._fused_block(h, i, train)
+                if self.squeeze_excitation:
+                    h = SEBlock()(h)
+                continue
+            # (odd H/W are fine here: VALID 2x2 pooling drops the tail
+            # row/column identically in both compositions, and stats still
+            # reduce over the full conv output)
+            if self.pool_reorder if train else self.pool_reorder_eval:
+                h = self._reordered_block(h, i, train)
                 if self.squeeze_excitation:
                     h = SEBlock()(h)
                 continue
@@ -165,6 +234,8 @@ class AudioNTT2022(nn.Module):
     squeeze_excitation: bool = False
     fused_conv: bool = False
     fused_conv_eval: bool = False
+    pool_reorder: bool = False
+    pool_reorder_eval: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -179,6 +250,8 @@ class AudioNTT2022(nn.Module):
             squeeze_excitation=self.squeeze_excitation,
             fused_conv=self.fused_conv,
             fused_conv_eval=self.fused_conv_eval,
+            pool_reorder=self.pool_reorder,
+            pool_reorder_eval=self.pool_reorder_eval,
             name="encoder",
         )(x, train=train)
         return mean_max_pooling(frames)

@@ -32,9 +32,17 @@ def build_encoder(cfg) -> Tuple[nn.Module, int]:
             import jax
 
             fused = jax.default_backend() == "tpu" and jax.device_count() == 1
+        reorder = getattr(cfg, "pool_reorder", None)
+        if reorder is None:
+            # auto: pure XLA ops, GSPMD-shardable — on for any TPU training;
+            # off on CPU so test oracles keep the literal flax composition
+            import jax
+
+            reorder = jax.default_backend() == "tpu"
         enc = audiontt.AudioNTT2022(
             squeeze_excitation=cfg.squeeze_excitation,
             fused_conv=bool(fused),
+            pool_reorder=bool(reorder),
         )
     elif "vit" in mt:
         conv_stem = mt.split("_")[0] == "vitc"

@@ -159,6 +159,88 @@ class TestModuleIntegration:
             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         np.testing.assert_allclose(out_f, out_r, atol=1e-5, rtol=1e-5)
 
+    def test_pool_reorder_forward_grads_stats(self, rng):
+        """pool_reorder=True (monotone pool-before-BN on BOTH blocks, incl.
+        the Cin=64 block 2) matches the flax composition: outputs, every
+        parameter gradient, and batch-stat updates — with tie-heavy inputs
+        so the select-and-scatter first-extreme routing is exercised."""
+        plain = AudioNTT2022(fused_conv=False)
+        reord = AudioNTT2022(fused_conv=False, pool_reorder=True)
+        x = rng.standard_normal((2, 1, 64, 96)).astype(np.float32)
+        x = jnp.asarray(np.round(x * 2) / 2)          # frequent window ties
+        variables = plain.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False)
+        # push some BN scales negative so the sign-aware pool direction and
+        # the min-extreme path are both exercised
+        params = jax.tree.map(lambda p: p, variables["params"])
+        bn0 = params["encoder"]["BatchNorm_0"]
+        bn0["scale"] = bn0["scale"].at[:16].set(-1.3)
+        bn1 = params["encoder"]["BatchNorm_1"]
+        bn1["scale"] = bn1["scale"].at[:16].set(-0.7)
+        variables = {**variables, "params": params}
+
+        def run(model):
+            def loss_fn(params):
+                out, mut = model.apply(
+                    {**variables, "params": params}, x, train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(2)})
+                return jnp.sum(out * out), (out, mut["batch_stats"])
+            (l, (out, bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            return l, out, bs, grads
+
+        l_p, out_p, bs_p, g_p = run(plain)
+        l_r, out_r, bs_r, g_r = run(reord)
+        np.testing.assert_allclose(out_r, out_p, atol=2e-4, rtol=1e-3)
+        assert float(l_r) == pytest.approx(float(l_p), rel=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            bs_r, bs_p)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=3e-3,
+                                                    rtol=1e-2),
+            g_r, g_p)
+
+    def test_pool_reorder_bf16_and_eval(self, rng):
+        """bf16 forward stays close; eval mode ignores pool_reorder (same
+        path as plain)."""
+        plain = AudioNTT2022(fused_conv=False)
+        reord = AudioNTT2022(fused_conv=False, pool_reorder=True)
+        x = jnp.asarray(rng.standard_normal((2, 1, 64, 96)).astype(np.float32))
+        variables = plain.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False)
+        bf = jax.tree.map(lambda p: p.astype(jnp.bfloat16),
+                          variables["params"])
+        out_p, _ = plain.apply(
+            {**variables, "params": bf}, x.astype(jnp.bfloat16), train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)})
+        out_r, _ = reord.apply(
+            {**variables, "params": bf}, x.astype(jnp.bfloat16), train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)})
+        np.testing.assert_allclose(np.asarray(out_r, np.float32),
+                                   np.asarray(out_p, np.float32),
+                                   atol=0.2, rtol=0.05)
+        # eval: pool_reorder_eval (opt-in; the train-mode flag leaves eval
+        # on the flax composition) uses RUNNING stats with no full-size
+        # epilogue; make the stats non-trivial first, then check value
+        # parity — with an odd time width (95) for the VALID-pool tail-drop
+        reord = AudioNTT2022(pool_reorder_eval=True)
+        xo = jnp.asarray(rng.standard_normal((2, 1, 64, 95)).astype(np.float32))
+        _, mut = plain.apply(
+            variables, xo, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)})
+        ev_vars = {"params": variables["params"],
+                   "batch_stats": mut["batch_stats"]}
+        ev_p = plain.apply(ev_vars, xo, train=False)
+        ev_r = reord.apply(ev_vars, xo, train=False)
+        np.testing.assert_allclose(ev_r, ev_p, atol=1e-5, rtol=1e-5)
+        # train-only flag: eval path is literally the plain composition
+        ev_t = AudioNTT2022(pool_reorder=True).apply(ev_vars, xo, train=False)
+        np.testing.assert_allclose(ev_t, ev_p, atol=0, rtol=0)
+
     def test_train_step_loss_parity(self):
         """Full BT train step with --fused_conv matches the unfused step."""
         from ssl_audio_tpu.train.state import init_train_state

@@ -32,6 +32,9 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--fused_conv", action="store_true", default=None)
     p.add_argument("--no_fused_conv", dest="fused_conv", action="store_false")
+    p.add_argument("--pool_reorder", action="store_true", default=None)
+    p.add_argument("--no_pool_reorder", dest="pool_reorder",
+                   action="store_false")
     # --device_only: time the timestamp pipeline's DEVICE compute with a
     # scalar-checksum fetch, excluding the ~160 MB embedding download that
     # dominates end-to-end wall clock through a remote-attached tunnel
@@ -47,7 +50,8 @@ def main(argv=None):
 
         model = mod.load_model("", args.model, fast_mel=args.fast_mel,
                                fetch_dtype=args.fetch_dtype,
-                               fused_conv=args.fused_conv)
+                               fused_conv=args.fused_conv,
+                               pool_reorder=args.pool_reorder)
     else:
         from ssl_audio_tpu.hear import vit as mod
 
