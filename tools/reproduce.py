@@ -229,22 +229,34 @@ def main(argv=None):
     if unknown:
         raise SystemExit(f"unknown stages {unknown}; pick from {ALL_STAGES}")
 
+    import time as _time
+
     ckpt = args.ckpt
     results = {}
+    timings = {}
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        out = fn()
+        timings[name] = round(_time.time() - t0, 1)
+        print(f"[timing] {name}: {timings[name]}s")
+        return out
+
     if "convert" in stages:
-        stage_convert(args)
+        _timed("convert", lambda: stage_convert(args))
     if "pretrain" in stages:
-        ckpt = stage_pretrain(args)
+        ckpt = _timed("pretrain", lambda: stage_pretrain(args))
     if "probe" in stages:
         if not ckpt:
             raise SystemExit("probe stage needs --ckpt (or run pretrain)")
-        results["linear"] = stage_probe(args, ckpt)
+        results["linear"] = _timed("probe", lambda: stage_probe(args, ckpt))
     if "hear" in stages:
         if not ckpt:
             raise SystemExit("hear stage needs --ckpt (or run pretrain)")
-        stage_hear(args, ckpt)
+        _timed("hear", lambda: stage_hear(args, ckpt))
     if "aggregate" in stages:
-        results["hear"] = stage_aggregate(args)
+        results["hear"] = _timed("aggregate", lambda: stage_aggregate(args))
+    results["timings_s"] = timings
     print(f"[done] artifacts in {args.work_dir}")
     return results
 
