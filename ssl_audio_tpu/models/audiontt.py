@@ -191,7 +191,7 @@ class AudioNTT2022Encoder(nn.Module):
             # (odd H/W are fine here: VALID 2x2 pooling drops the tail
             # row/column identically in both compositions, and stats still
             # reduce over the full conv output)
-            if self.pool_reorder if train else self.pool_reorder_eval:
+            if (self.pool_reorder if train else self.pool_reorder_eval):
                 h = self._reordered_block(h, i, train)
                 if self.squeeze_excitation:
                     h = SEBlock()(h)
