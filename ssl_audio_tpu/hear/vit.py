@@ -35,8 +35,11 @@ class ViTModelWrapper:
     """Holds the Flax ViT, its params, and the HEAR metadata attributes."""
 
     def __init__(self, cfg, model_type: str, model_file_path: str, patch_size,
-                 fetch_dtype: str = "float32"):
+                 fetch_dtype: str = "float32", fast_mel: bool = False):
         self.cfg = cfg
+        # fast_mel: HIGH-precision (3-pass bf16) DFT, ~2e-4 max log-mel err
+        # (the same feature-extraction contract the conv wrapper exposes)
+        self.fast_mel = fast_mel
         self.use_cls = True if cfg.get("use_cls") is None else cfg.use_cls
         self.sample_rate = cfg.sample_rate
         self.fetch_dtype = fetch_dtype
@@ -110,7 +113,8 @@ class ViTModelWrapper:
 
     def to_feature(self, batch_audio: np.ndarray) -> jnp.ndarray:
         """(B, L) wav -> (B, 1, n_mels, T) log-mel."""
-        lms = log_mel_spectrogram(jnp.asarray(batch_audio), self.mel)
+        lms = log_mel_spectrogram(jnp.asarray(batch_audio), self.mel,
+                                  fast=self.fast_mel)
         return lms[:, None]
 
     def encode(self, batch_audio: np.ndarray) -> jnp.ndarray:
@@ -135,6 +139,7 @@ def load_model(
     patch_size: str = "16x8",
     cfg_path: str = "hear/config.yaml",
     fetch_dtype: str = "float32",
+    fast_mel: bool = False,
 ) -> ViTModelWrapper:
     """fetch_dtype="bfloat16" halves the timestamp-embedding device->host
     transfer (the wall-clock bottleneck on remote-attached TPUs) at the
@@ -142,6 +147,7 @@ def load_model(
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
     ps = [int(patch_size.split("x")[0]), int(patch_size.split("x")[-1])]
     return ViTModelWrapper(cfg, model_type, model_file_path, ps,
+                           fast_mel=fast_mel,
                            fetch_dtype=fetch_dtype)
 
 

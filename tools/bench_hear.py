@@ -55,7 +55,8 @@ def main(argv=None):
     else:
         from ssl_audio_tpu.hear import vit as mod
 
-        model = mod.load_model("", args.model, fetch_dtype=args.fetch_dtype)
+        model = mod.load_model("", args.model, fetch_dtype=args.fetch_dtype,
+                               fast_mel=args.fast_mel)
 
     sr = model.sample_rate
     n = int(args.seconds * sr)
