@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--env_gain", type=float, default=None)
     parser.add_argument("--env_width", type=float, default=None)
     parser.add_argument("--noise", type=float, default=None)
+    # probe every N epochs (the reference's epoch_eval_f protocol,
+    # main.py:497-519); 1 = every epoch
+    parser.add_argument("--eval_every", type=int, default=1)
     args = parser.parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
     cfg = setup_model_defaults(
@@ -111,6 +114,8 @@ def main(argv=None):
 
     for epoch in range(1, cfg.epochs + 1):
         loss = trainer.train_one_epoch(epoch)
+        if epoch % args.eval_every and epoch != cfg.epochs:
+            continue
         s = probe_score(cfg, trainer.mods, trainer.state, eval_loaders, args.eval)
         record["epochs"].append({"epoch": epoch, "loss": loss, "score": s})
         print(f"epoch {epoch:2d}  loss={loss:.4f}  probe={s:.4f}  "
