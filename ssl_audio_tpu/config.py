@@ -323,15 +323,30 @@ def config_from_args(argv=None) -> Config:
 
         with open(args.config) as f:
             raw = yaml.safe_load(f) or {}
+
+        def _flatten(node, out):
+            for k, v in node.items():
+                if isinstance(v, dict):   # nested legacy sections, any depth
+                    _flatten(v, out)
+                else:
+                    out[k] = v
+
         flat = {}
-        for k, v in raw.items():
-            if isinstance(v, dict):      # nested legacy sections
-                flat.update(v)
-            else:
-                flat[k] = v
+        _flatten(raw, flat)
+        # key aliases so the REFERENCE's own legacy yaml files
+        # (old/configs/pretrain/*.yaml) load unmodified: their leaf names
+        # for these hyperparameters differ from the active-tree CLI flags
+        # this config mirrors (e.g. old/configs/pretrain/barlow.yaml
+        # `lambd`/`base_lr`/`batch_size_per_gpu`/`save_epoch_it`)
+        for src, dst in (("lambd", "lmbda"), ("base_lr", "lr"),
+                         ("batch_size_per_gpu", "batch_size"),
+                         ("save_epoch_it", "epoch_save_f"),
+                         ("weight_decay", "wd")):
+            if src in flat and dst not in flat:
+                flat[dst] = flat.pop(src)
         # CLI flags explicitly present on the command line win over yaml
         explicit = {a.lstrip("-").split("=")[0] for a in argv if a.startswith("--")}
         for k, v in flat.items():
-            if k in known and k not in explicit:
+            if k in known and k not in explicit and v is not None:
                 kw[k] = v
     return setup_model_defaults(Config(**kw))

@@ -178,6 +178,39 @@ class TestYamlConfig:
         cfg2 = config_from_args(["--config", str(cfgfile), "--epochs", "3"])
         assert cfg2.epochs == 3 and cfg2.batch_size == 64
 
+    def test_reference_legacy_yaml_loads_unmodified(self):
+        """The REFERENCE's own legacy config files (old/configs/pretrain/)
+        load directly: nested sections flattened at any depth, legacy key
+        names (lambd/base_lr/batch_size_per_gpu/save_epoch_it/weight_decay)
+        aliased to the active-tree flags."""
+        import os
+
+        from ssl_audio_tpu.config import config_from_args
+
+        path = "/root/reference/old/configs/pretrain/barlow.yaml"
+        if not os.path.exists(path):
+            import pytest
+
+            pytest.skip("reference tree not mounted")
+        cfg = config_from_args(["--config", path, "--model_type", "audiontt"])
+        # data.preprocess section (exact-name keys)
+        assert cfg.n_fft == 1024 and cfg.hop_length == 160
+        assert cfg.n_mels == 64 and cfg.f_min == 60 and cfg.f_max == 7800
+        assert cfg.unit_sec == 0.95
+        # aliased keys
+        assert cfg.lmbda == 5.0e-3            # model.lambd
+        assert cfg.lr == 1.0e-4               # optimizer.base_lr
+        assert cfg.batch_size == 256          # optimizer.batch_size_per_gpu
+        assert cfg.epoch_save_f == 10         # checkpoint.save_epoch_it
+        assert cfg.wd == 0.04                 # optimizer.weight_decay
+        # plain keys from nested sections
+        assert cfg.epochs == 40 and cfg.seed == 32 and cfg.use_fp16 is False
+        assert cfg.mask_ratio == 0.75
+        # CLI still overrides
+        cfg2 = config_from_args(["--config", path, "--model_type", "audiontt",
+                                 "--batch_size", "16"])
+        assert cfg2.batch_size == 16
+
 
 class TestDeterminism:
     def test_same_seed_same_losses(self):
