@@ -120,8 +120,10 @@ class ViTModelWrapper:
     def encode(self, batch_audio: np.ndarray) -> jnp.ndarray:
         x = self.to_feature(batch_audio)
         # reference _normalize_batch (vit.py:100-103) uses torch .std(),
-        # which is the UNBIASED estimator -> ddof=1
-        mu, sigma = float(x.mean()), float(x.std(ddof=1))
+        # which is the UNBIASED estimator -> ddof=1.  Stats stay DEVICE
+        # scalars — fetching them to host here forced an extra round trip
+        # (dispatch + fetch) in the middle of every scene call.
+        mu, sigma = x.mean(), x.std(ddof=1)
         x = (x - mu) / sigma
         return self.encode_lms(x)
 
