@@ -189,6 +189,33 @@ class TestDataParallel:
             float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
         )
 
+    def test_8device_sharded_step_with_pool_reorder(self, rng):
+        """--pool_reorder is pure XLA ops and must shard under GSPMD with no
+        single-device restriction (unlike the opaque fused_conv kernel, which
+        auto-disables on a mesh): the sharded-step loss matches unsharded."""
+        assert len(jax.devices()) == 8
+        cfg = small_cfg(batch_size=16, mixup=False, pool_reorder=True)
+        mods, state = init_train_state(cfg, jax.random.key(0))
+        assert mods.encoder.pool_reorder    # flag reached the module
+        step = make_train_step(mods, donate=False)
+        batch = make_batch(rng, b=16)
+
+        _, m_single = step(state, batch, jax.random.key(1), 0.0)
+        mesh = get_mesh(8)
+        sharded_batch = shard_batch(np.asarray(batch), mesh)
+        _, m_sharded = step(state, sharded_batch, jax.random.key(1), 0.0)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
+        )
+        # and differs from the plain composition only by float rounding:
+        cfg_p = small_cfg(batch_size=16, mixup=False, pool_reorder=False)
+        mods_p, state_p = init_train_state(cfg_p, jax.random.key(0))
+        step_p = make_train_step(mods_p, donate=False)
+        _, m_plain = step_p(state_p, batch, jax.random.key(1), 0.0)
+        np.testing.assert_allclose(
+            float(m_plain["loss"]), float(m_single["loss"]), rtol=1e-4
+        )
+
     def test_world_scale_matches_reference_ddp_semantics(self, rng):
         """world_scale=N reproduces the reference's c.div_(local_B) +
         all_reduce scale (loss.py:19-21): loss_N = N * mean-version terms in
