@@ -53,10 +53,10 @@ class ConvModelWrapper:
             # embedding fetch doesn't dominate the wall clock.
             # pool_reorder = the XLA-level monotone pool-before-BN eval
             # path (models/audiontt.py pool_reorder_eval): default OFF —
-            # measured A/B on the timestamp surface (64x10s, fast_mel,
-            # 2026-08-17): XLA eval composition 11.6 clips/s vs reorder 9.6
-            # (scene 64.9 vs 71.3, inside the ±10% band).  Like the eval
-            # fused kernel, the forward-only composition is already lean.
+            # the staged device-only A/B (2026-08-18, PERF.md) measures it
+            # NEUTRAL on the timestamp surface (316.9 vs 320.9 clips/s);
+            # the forward-only XLA composition is already near the HBM
+            # roofline, so there is nothing for the reorder to save at eval.
             self.model = audiontt_lib.AudioNTT2022(
                 fused_conv_eval=bool(fused_conv),
                 pool_reorder_eval=bool(pool_reorder))
