@@ -27,7 +27,8 @@ class ConvModelWrapper:
     def __init__(self, cfg, model_type: str, model_file_path: str,
                  fast_mel: bool = False, fetch_dtype: str = "float32",
                  fused_conv: bool | None = None,
-                 pool_reorder: bool | None = None):
+                 pool_reorder: bool | None = None,
+                 compute_dtype: str = "float32"):
         self.cfg = cfg
         self.sample_rate = cfg.sample_rate
         # fast_mel: HIGH-precision (3-pass bf16) DFT for the feature
@@ -37,6 +38,13 @@ class ConvModelWrapper:
         # fetch_dtype="bfloat16": halve the timestamp-embedding fetch bytes
         # (see hear/vit.py _timestamp_pipeline)
         self.fetch_dtype = fetch_dtype
+        # compute_dtype="bfloat16": run the encoder forward in bf16 (params +
+        # input cast once at load, fp32 outputs) — the eval conv stack is
+        # HBM-bound (PERF.md conv-call trace: block-1 materializations at the
+        # roofline), so halving activation bytes converts directly to device
+        # time, the same asymmetry --use_fp16 shows in training (+47%).
+        # Embeddings shift by bf16 rounding; opt-in.
+        self.compute_dtype = compute_dtype
         if model_type == "resnet50":
             self.model = resnet_lib.resnet50()
         elif model_type == "resnet50_ReGP_NRF":
@@ -72,8 +80,16 @@ class ConvModelWrapper:
             f_min=float(cfg.f_min), f_max=float(cfg.f_max),
         )
         self.variables = self._load_weights(model_file_path)
+        if compute_dtype == "bfloat16":
+            self.variables = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+                self.variables)
         self._apply = jax.jit(
-            lambda variables, x: self.model.apply(variables, x, train=False)
+            lambda variables, x: self.model.apply(
+                variables, x.astype(jnp.bfloat16)
+                if compute_dtype == "bfloat16" else x,
+                train=False).astype(jnp.float32)
         )
 
     def _load_weights(self, model_file_path: str):
@@ -125,11 +141,13 @@ def load_model(
     fetch_dtype: str = "float32",
     fused_conv: bool | None = None,
     pool_reorder: bool | None = None,
+    compute_dtype: str = "float32",
 ) -> ConvModelWrapper:
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
     return ConvModelWrapper(cfg, model_type, model_file_path,
                             fast_mel=fast_mel, fetch_dtype=fetch_dtype,
-                            fused_conv=fused_conv, pool_reorder=pool_reorder)
+                            fused_conv=fused_conv, pool_reorder=pool_reorder,
+                            compute_dtype=compute_dtype)
 
 
 def get_timestamp_embeddings(
@@ -153,10 +171,16 @@ def get_timestamp_embeddings(
     # single-jit device pipeline (see hear/vit.py _timestamp_pipeline)
     from ssl_audio_tpu.hear.vit import _fetch_embeddings, _timestamp_pipeline
 
-    emb = _fetch_embeddings(_timestamp_pipeline(
-        model, flat, N,
-        encode_fn=lambda variables, m: model.model.apply(variables, m, train=False),
-    ))
+    bf16 = getattr(model, "compute_dtype", "float32") == "bfloat16"
+
+    def encode_fn(variables, m):
+        if bf16:
+            m = m.astype(jnp.bfloat16)
+        out = model.model.apply(variables, m, train=False)
+        return out.astype(jnp.float32)
+
+    emb = _fetch_embeddings(_timestamp_pipeline(model, flat, N,
+                                                encode_fn=encode_fn))
     emb = emb[:N].reshape(n_sounds, n_frames, -1)
     return torch.from_numpy(emb).float(), timestamps
 

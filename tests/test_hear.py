@@ -117,6 +117,30 @@ class TestConvAPI:
         scale = ref.abs().max().item()
         assert (emb - ref).abs().max().item() <= 2 ** -7 * scale
 
+    def test_bf16_compute_close_to_fp32(self, conv_model, rng):
+        """compute_dtype='bfloat16' (bf16 encoder forward — the HBM-bound
+        serving option) returns float32 embeddings within bf16 activation
+        rounding of the fp32 path, for both API calls."""
+        audio = torch.from_numpy(
+            rng.standard_normal((2, 24000)).astype(np.float32))
+        bf = hear_conv.load_model("", "audiontt", compute_dtype="bfloat16")
+        # share weights: re-cast the fp32 model's tree the way load does
+        import jax
+        import jax.numpy as jnp
+
+        bf.variables = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+            conv_model.variables)
+        ref, _ = hear_conv.get_timestamp_embeddings(audio, conv_model)
+        emb, _ = hear_conv.get_timestamp_embeddings(audio, bf)
+        assert emb.dtype == torch.float32
+        scale = ref.abs().max().item()
+        assert (emb - ref).abs().max().item() <= 0.05 * scale
+        sref = hear_conv.get_scene_embeddings(audio, conv_model)
+        semb = hear_conv.get_scene_embeddings(audio, bf)
+        assert (semb - sref).abs().max().item() <= 0.05 * sref.abs().max().item()
+
 
 class TestCheckpointLoading:
     def test_load_from_orbax_train_ckpt(self, tmp_path, rng):

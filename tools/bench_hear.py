@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--fetch_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--fused_conv", action="store_true", default=None)
     p.add_argument("--no_fused_conv", dest="fused_conv", action="store_false")
     p.add_argument("--pool_reorder", action="store_true", default=None)
@@ -51,7 +53,8 @@ def main(argv=None):
         model = mod.load_model("", args.model, fast_mel=args.fast_mel,
                                fetch_dtype=args.fetch_dtype,
                                fused_conv=args.fused_conv,
-                               pool_reorder=args.pool_reorder)
+                               pool_reorder=args.pool_reorder,
+                               compute_dtype=args.compute_dtype)
     else:
         from ssl_audio_tpu.hear import vit as mod
 
@@ -75,8 +78,13 @@ def main(argv=None):
         )
 
         if args.module == "conv":
-            encode_fn = lambda variables, m: model.model.apply(
-                variables, m, train=False)
+            bf16c = args.compute_dtype == "bfloat16"
+
+            def encode_fn(variables, m):
+                if bf16c:
+                    m = m.astype(jnp.bfloat16)
+                return model.model.apply(variables, m,
+                                         train=False).astype(jnp.float32)
         else:
             encode_fn = None
         cfg = model.cfg
