@@ -42,7 +42,10 @@ def make_embedding_forward(cfg, mods, params, batch_stats) -> Callable:
     if is_vit(cfg):
         unit_frames = cfg.crop_frames
 
-        @jax.jit
+        # return_all selects the CLS-vs-dense-token return path inside the
+        # encoder (a Python branch) — it must be a STATIC jit argument, not
+        # a traced bool
+        @functools.partial(jax.jit, static_argnums=(1,))
         def unit_apply(xu, return_all):
             variables = {"params": enc_params}
             if batch_stats.get("encoder"):

@@ -156,6 +156,29 @@ class TestLinearEndToEnd:
         assert score > 0.5, score
 
 
+    def test_vit_embedding_forward(self):
+        """ViT path of make_embedding_forward (the linear.py probe): the
+        unit-splitter's return_all bool must be a STATIC jit arg — a traced
+        bool raised TracerBoolConversionError (latent until the first ViT
+        probe run through tools/reproduce.py, fixed r3).  Covers both the
+        CLS and the dense-token (use_cls=False) branches."""
+        from ssl_audio_tpu.train.state import init_train_state
+
+        for use_cls, dim in ((True, 192), (False, 4 * 192)):
+            cfg = default_config(model_type="vit_tiny", batch_size=8,
+                                 use_cls=use_cls,
+                                 projector_hidden_dim=32, projector_out_dim=8,
+                                 mixup_n_memory=16)
+            mods, state = init_train_state(cfg, jax.random.key(0))
+            fwd = make_embedding_forward(
+                cfg, mods, jax.device_get(state.params),
+                jax.device_get(state.batch_stats))
+            x = jnp.asarray(np.random.default_rng(0)
+                            .standard_normal((2, 1, 64, 96)).astype(np.float32))
+            out = fwd(x)
+            assert out.shape == (2, dim) and np.isfinite(np.asarray(out)).all()
+
+
 class TestEvalPrecisionAndPool:
     def test_bf16_eval_forward(self):
         cfg = default_config(model_type="audiontt", batch_size=8, use_fp16_eval=True,
