@@ -55,10 +55,10 @@ class ConvModelWrapper:
             self.model = resnet_lib.resnet18_ReGP_NRF()
         elif model_type == "audiontt":
             # fused_conv here = the EVAL-mode Pallas block; default OFF —
-            # measured A/B on the timestamp surface (64x10s, fast_mel,
-            # 2026-08-17): XLA eval composition 10.6 clips/s vs fused 7.0.
-            # The opt-in remains for locally-attached chips where the
-            # embedding fetch doesn't dominate the wall clock.
+            # the staged device-only A/B (2026-08-18, PERF.md) measures it
+            # +3.6% (332.3 vs 320.9 clips/s, inside the ±5% band), and it
+            # composes NEGATIVELY with compute_dtype="bfloat16" (361.8 vs
+            # 399.1).  Opt-in only.
             # pool_reorder = the XLA-level monotone pool-before-BN eval
             # path (models/audiontt.py pool_reorder_eval): default OFF —
             # the staged device-only A/B (2026-08-18, PERF.md) measures it
