@@ -344,8 +344,18 @@ def config_from_args(argv=None) -> Config:
                          ("weight_decay", "wd")):
             if src in flat and dst not in flat:
                 flat[dst] = flat.pop(src)
-        # CLI flags explicitly present on the command line win over yaml
-        explicit = {a.lstrip("-").split("=")[0] for a in argv if a.startswith("--")}
+        # CLI flags explicitly present on the command line win over yaml.
+        # Resolve each option string through the parser's option->dest table
+        # so negated flags register under their dest (e.g. --no_pool_reorder
+        # must mark 'pool_reorder' explicit, or a yaml `pool_reorder: true`
+        # silently overrides the CLI negation — ADVICE r3)
+        opt_to_dest = {s: a.dest for s, a in
+                       parser._option_string_actions.items()}
+        explicit = set()
+        for a in argv:
+            if a.startswith("--"):
+                opt = a.split("=")[0]
+                explicit.add(opt_to_dest.get(opt, opt.lstrip("-")))
         for k, v in flat.items():
             if k in known and k not in explicit and v is not None:
                 kw[k] = v

@@ -81,10 +81,19 @@ class ConvModelWrapper:
         )
         self.variables = self._load_weights(model_file_path)
         if compute_dtype == "bfloat16":
-            self.variables = jax.tree.map(
-                lambda p: p.astype(jnp.bfloat16)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
-                self.variables)
+            # Cast only the params collection; BN running stats stay fp32
+            # (standard mixed precision — torch AMP runs batch_norm in fp32
+            # too, so the reference's fp16-trained models normalize in fp32;
+            # ADVICE r3: bf16 running variance adds a systematic per-channel
+            # scale error on top of activation rounding).  flax's BatchNorm
+            # promotes to the widest operand dtype, so the fp32 stats also
+            # mean the eval normalization itself computes in fp32.
+            self.variables = dict(
+                self.variables,
+                params=jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+                    self.variables["params"]))
         self._apply = jax.jit(
             lambda variables, x: self.model.apply(
                 variables, x.astype(jnp.bfloat16)

@@ -141,7 +141,14 @@ class AudioNTT2022Encoder(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        # per-window extreme of y: max where gamma > 0, min otherwise
+        # per-window extreme of y: max where gamma > 0, min otherwise.
+        # gamma == 0 edge (ADVICE r3): z is window-constant there, so the
+        # FORWARD is identical whichever element is picked, but the gradient
+        # routes through the min-of-y element here vs flax's first-element-
+        # of-window select-and-scatter tie-break — dgamma/dbeta can differ
+        # on the measure-zero event of a BN scale landing exactly on 0.0
+        # (never observed in training; scales init at 1 and move by float
+        # increments).  Accepted, matching ops/fused_conv.py's convention.
         s = jnp.where(scale > 0, 1.0, -1.0).astype(y.dtype)
         ps = s * jax.lax.reduce_window(
             y * s, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")

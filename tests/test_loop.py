@@ -178,6 +178,24 @@ class TestYamlConfig:
         cfg2 = config_from_args(["--config", str(cfgfile), "--epochs", "3"])
         assert cfg2.epochs == 3 and cfg2.batch_size == 64
 
+    def test_negated_cli_flag_beats_yaml(self, tmp_path):
+        """Negated flags must register as explicit under their DEST name:
+        --no_pool_reorder against a yaml `pool_reorder: true` keeps the CLI
+        negation (ADVICE r3 — previously the yaml silently won)."""
+        from ssl_audio_tpu.config import config_from_args
+
+        cfgfile = tmp_path / "exp.yaml"
+        cfgfile.write_text(
+            "pool_reorder: true\nfused_conv: true\nmixup: true\n")
+        cfg = config_from_args(["--config", str(cfgfile)])
+        assert cfg.pool_reorder is True and cfg.fused_conv is True
+        cfg2 = config_from_args(["--config", str(cfgfile),
+                                 "--no_pool_reorder", "--no_fused_conv",
+                                 "--no_mixup"])
+        assert cfg2.pool_reorder is False
+        assert cfg2.fused_conv is False
+        assert cfg2.mixup is False
+
     def test_reference_legacy_yaml_loads_unmodified(self):
         """The REFERENCE's own legacy config files (old/configs/pretrain/)
         load directly: nested sections flattened at any depth, legacy key

@@ -171,3 +171,32 @@ class TestCliRoundtrip:
             a = ref(torch.from_numpy(x_np)).numpy()
             b = ref2(torch.from_numpy(x_np)).numpy()
         np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
+
+    def test_pth_orbax_pth_squeeze_excitation(self, tmp_path, x_np):
+        """SE-variant AudioNTT roundtrips through both CLIs without flags:
+        SE is inferred from the .pth keys on import and from the SEBlock_*
+        params on export (ADVICE r3: cfg.squeeze_excitation default dropped
+        SE weights)."""
+        ref_model_mod = import_reference("model")
+        from tools import export_torch_ckpt, import_torch_ckpt
+
+        torch.manual_seed(0)
+        ref = ref_model_mod.AudioNTT2022(squeeze_excitation=True)
+        ref.eval()
+        pth = str(tmp_path / "orig_se.pth")
+        torch.save(ref.state_dict(), pth)
+
+        orbax_dir = str(tmp_path / "orbax_se")
+        import_torch_ckpt.main(["--model_type", "audiontt", "--pth", pth,
+                                "--out", orbax_dir])
+        pth2 = str(tmp_path / "roundtrip_se.pth")
+        export_torch_ckpt.main(["--model_type", "audiontt",
+                                "--ckpt", orbax_dir, "--out", pth2])
+
+        ref2 = ref_model_mod.AudioNTT2022(squeeze_excitation=True)
+        ref2.load_state_dict(torch.load(pth2, weights_only=False), strict=True)
+        ref2.eval()
+        with torch.no_grad():
+            a = ref(torch.from_numpy(x_np)).numpy()
+            b = ref2(torch.from_numpy(x_np)).numpy()
+        np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)

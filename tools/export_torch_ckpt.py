@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--patch_size", nargs="+", type=int, default=[16, 16])
     p.add_argument("--n_mels", type=int, default=64)
     p.add_argument("--crop_frames", type=int, default=96)
+    p.add_argument("--squeeze_excitation", action="store_true", default=False,
+                   help="force SE export (auto-inferred from SEBlock_* keys)")
     args = p.parse_args(argv)
 
     import jax
@@ -51,9 +53,15 @@ def main(argv=None):
         enc, _dim = build_encoder(cfg)
         sd = torch_export.export_vit_state_dict(enc, params, bstats or None)
     elif args.model_type == "audiontt":
+        # SE is inferred from the checkpoint itself (presence of SEBlock_*
+        # params), not from default_config — whose squeeze_excitation default
+        # is False, which silently dropped SE weights on export (ADVICE r3);
+        # --squeeze_excitation still forces it on.
+        has_se = args.squeeze_excitation or "SEBlock_0" in params.get(
+            "encoder", {})
         sd = torch_export.export_audiontt_state_dict(
             {"params": params, "batch_stats": bstats},
-            squeeze_excitation=cfg.squeeze_excitation)
+            squeeze_excitation=has_se)
     else:
         sd = torch_export.export_resnet_state_dict(
             {"params": params, "batch_stats": bstats}, args.model_type)

@@ -19,6 +19,8 @@ def main(argv=None):
     p.add_argument("--patch_size", nargs="+", type=int, default=[16, 16])
     p.add_argument("--n_mels", type=int, default=64)
     p.add_argument("--crop_frames", type=int, default=96)
+    p.add_argument("--squeeze_excitation", action="store_true", default=False,
+                   help="force SE import (auto-inferred from the .pth keys)")
     args = p.parse_args(argv)
 
     import jax
@@ -29,9 +31,22 @@ def main(argv=None):
     from ssl_audio_tpu.models.wrapper import build_encoder, is_vit
     from ssl_audio_tpu.utils import torch_import
 
+    se = args.squeeze_excitation
+    if args.model_type == "audiontt" and not se:
+        # infer SE from the checkpoint itself — default_config's
+        # squeeze_excitation is always False, which made SE-variant AudioNTT
+        # checkpoints unimportable via the CLI (ADVICE r3, export twin)
+        import torch
+
+        sd = torch.load(args.pth, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd and not hasattr(
+                sd["model"], "numel"):
+            sd = sd["model"]
+        se = any("excitation" in k for k in sd.keys())
     cfg = default_config(
         model_type=args.model_type, patch_size=args.patch_size,
         n_mels=args.n_mels, crop_frames=args.crop_frames,
+        squeeze_excitation=se,
     )
     enc, dim = build_encoder(cfg)
     x = jnp.zeros((1, 1, cfg.n_mels, cfg.crop_frames), jnp.float32)
