@@ -112,9 +112,11 @@ class Config:
     # Pallas fused Conv-BN-ReLU-MaxPool for AudioNTT's first conv layer
     # (ops/fused_conv.py): identical math, ~no HBM round-trips of the
     # (B, 64, 96, 64) activation (measured B=256: fp32 step 26.2 -> 18.1 ms,
-    # bf16 wav step 19.8 -> 16.8 ms).  None = auto: on for single-device TPU
-    # training, off elsewhere (CPU runs it in slow interpret mode; under a
-    # multi-chip GSPMD mesh the opaque kernel forces the batch to gather).
+    # bf16 wav step 19.8 -> 16.8 ms).  None = auto: on for TPU training —
+    # single chip, or any 1-D 'data' mesh, where the kernel runs per-shard
+    # inside shard_map with psum'd BN moments/grad partials (r4; the
+    # reference's DDP + SyncBatchNorm semantics).  Off on CPU (slow
+    # interpret mode) and on 2-D TP meshes (the conv isn't tensor-parallel).
     # --fused_conv / --no_fused_conv force it.
     fused_conv: bool | None = None
     # Monotone pool-reorder for the AudioNTT conv blocks the Pallas kernel

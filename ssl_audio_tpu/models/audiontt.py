@@ -111,6 +111,13 @@ class AudioNTT2022Encoder(nn.Module):
     # composition is already lean and the sign multiplies + separate pool
     # break its fusion.  Opt-in only.
     pool_reorder_eval: bool = False
+    # Data-parallel mesh for the fused kernel (a jax.sharding.Mesh, hashable
+    # so it can live on the module): when set, the training fused block runs
+    # per-shard inside shard_map with the BN moments and parameter-gradient
+    # partials psum'd over 'data' — global-batch statistics and replicated
+    # grads, the reference's DDP + SyncBatchNorm semantics
+    # (utils/utils.py:410-417).  None = single-device kernel.
+    fused_mesh: object = None
 
     def _reordered_block(self, h: jnp.ndarray, i: int,
                          train: bool) -> jnp.ndarray:
@@ -166,6 +173,7 @@ class AudioNTT2022Encoder(nn.Module):
         from ssl_audio_tpu.ops.fused_conv import (
             fused_conv1_bn_relu_pool,
             fused_conv1_bn_relu_pool_eval,
+            fused_conv1_bn_relu_pool_sharded,
         )
 
         kernel, cbias = _ConvParams(self.base_d, h.shape[-1],
@@ -173,8 +181,12 @@ class AudioNTT2022Encoder(nn.Module):
         scale, bbias, ra_mean, ra_var = _BNParams(self.base_d,
                                                   name=f"BatchNorm_{i}")()
         if train:
-            pooled, mean, var = fused_conv1_bn_relu_pool(
-                h, kernel, cbias, scale, bbias)
+            if self.fused_mesh is not None:
+                pooled, mean, var = fused_conv1_bn_relu_pool_sharded(
+                    h, kernel, cbias, scale, bbias, mesh=self.fused_mesh)
+            else:
+                pooled, mean, var = fused_conv1_bn_relu_pool(
+                    h, kernel, cbias, scale, bbias)
             if self.is_mutable_collection("batch_stats"):
                 m = 0.9
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
@@ -243,6 +255,7 @@ class AudioNTT2022(nn.Module):
     fused_conv_eval: bool = False
     pool_reorder: bool = False
     pool_reorder_eval: bool = False
+    fused_mesh: object = None
 
     @property
     def embed_dim(self) -> int:
@@ -259,6 +272,7 @@ class AudioNTT2022(nn.Module):
             fused_conv_eval=self.fused_conv_eval,
             pool_reorder=self.pool_reorder,
             pool_reorder_eval=self.pool_reorder_eval,
+            fused_mesh=self.fused_mesh,
             name="encoder",
         )(x, train=train)
         return mean_max_pooling(frames)

@@ -9,8 +9,15 @@ import flax.linen as nn
 from ssl_audio_tpu.models import audiontt, resnet, vit
 
 
-def build_encoder(cfg) -> Tuple[nn.Module, int]:
-    """Returns (encoder_module, feature_dim)."""
+def build_encoder(cfg, mesh=None) -> Tuple[nn.Module, int]:
+    """Returns (encoder_module, feature_dim).
+
+    `mesh`: the training mesh, when known (Trainer passes its own).  A
+    multi-device 1-D 'data' mesh routes the AudioNTT fused kernel through
+    its shard_map form (ops/fused_conv.fused_conv1_bn_relu_pool_sharded) —
+    batch-sharded kernel, psum'd BN moments/grads — so the flagship config
+    trains data-parallel like every reference model
+    (reference utils/utils.py:410-417 wraps ALL models in DDP)."""
     mt = cfg.model_type
     if mt == "resnet50":
         enc = resnet.resnet50()
@@ -24,14 +31,24 @@ def build_encoder(cfg) -> Tuple[nn.Module, int]:
         assert cfg.n_mels == 64, (
             f"n_mels must be 64 to use AudioNTT encoder (n_mels set to {cfg.n_mels})"
         )
+        # the shard_map form needs a pure 1-D 'data' mesh with the batch
+        # divisible across it; under TP/2-D meshes the auto-psum of
+        # replicated-param cotangents would double-count over 'model'
+        shardable = (
+            mesh is not None
+            and tuple(mesh.axis_names) == ("data",)
+            and mesh.shape["data"] > 1
+            and cfg.batch_size % mesh.shape["data"] == 0
+        )
         fused = getattr(cfg, "fused_conv", None)
         if fused is None:
-            # auto: the kernel wins on a single TPU chip (PERF.md r3); CPU
-            # would run it in interpret mode and a multi-chip GSPMD mesh
-            # would gather the batch around the opaque kernel
+            # auto: on for TPU training — single chip (PERF.md r3: −31%
+            # fp32 step) or any 1-D data mesh (r4: shard_map form); off on
+            # CPU (interpret mode) and on meshes the kernel can't shard
             import jax
 
-            fused = jax.default_backend() == "tpu" and jax.device_count() == 1
+            fused = jax.default_backend() == "tpu" and (
+                jax.device_count() == 1 or shardable)
         reorder = getattr(cfg, "pool_reorder", None)
         if reorder is None:
             # auto: pure XLA ops, GSPMD-shardable — on for any TPU training;
@@ -43,6 +60,7 @@ def build_encoder(cfg) -> Tuple[nn.Module, int]:
             squeeze_excitation=cfg.squeeze_excitation,
             fused_conv=bool(fused),
             pool_reorder=bool(reorder),
+            fused_mesh=mesh if (bool(fused) and shardable) else None,
         )
     elif "vit" in mt:
         conv_stem = mt.split("_")[0] == "vitc"

@@ -342,17 +342,25 @@ def _dx_call(x16, w16, b, gamma, beta, mu, r, t1, t2, n, dpt, H, W, C, Mq):
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_conv1_bn_relu_pool(x, kernel, bias, gamma, beta, eps=1e-5):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_conv1_bn_relu_pool(x, kernel, bias, gamma, beta, eps=1e-5,
+                             axis=None):
     """x (B, H, W, 1) -> (pooled (B, H/2, W/2, C), mean (C,), var (C,)).
 
     Training-mode batch statistics; the caller folds mean/var into the
-    running averages.  kernel (3, 3, 1, C); H and W must be even."""
-    out, _ = _fwd_impl(x, kernel, bias, gamma, beta, eps)
+    running averages.  kernel (3, 3, 1, C); H and W must be even.
+
+    `axis`: optional mapped-axis name.  Inside shard_map over a batch-sharded
+    mesh axis, the BN moments (forward) and every parameter-gradient
+    reduction (backward) are psum'd over it, so the block computes GLOBAL
+    batch statistics and replicated parameter gradients — the reference's
+    DDP + SyncBatchNorm semantics (utils/utils.py:410-417).  Use via
+    fused_conv1_bn_relu_pool_sharded, which supplies the shard_map."""
+    out, _ = _fwd_impl(x, kernel, bias, gamma, beta, eps, axis)
     return out
 
 
-def _fwd_impl(x, kernel, bias, gamma, beta, eps):
+def _fwd_impl(x, kernel, bias, gamma, beta, eps, axis=None):
     B, H, W, _ = x.shape
     C = kernel.shape[-1]
     Mq = (H // 2) * (W // 2)
@@ -361,6 +369,12 @@ def _fwd_impl(x, kernel, bias, gamma, beta, eps):
     w16 = _fold_w16(wkt)
     sel, s1, s2 = _fwd_call(x16, w16, bias, gamma, C, Mq)
     n = B * H * W
+    if axis is not None:
+        # cross-shard moment reduction: the only cross-sample quantity in
+        # the block (one (C, 2)-sized psum per forward)
+        s1 = jax.lax.psum(s1, axis)
+        s2 = jax.lax.psum(s2, axis)
+        n = n * jax.lax.axis_size(axis)
     mean = s1 / n
     var = s2 / n - mean * mean
     r = jax.lax.rsqrt(var + eps)
@@ -405,11 +419,11 @@ def fused_conv1_bn_relu_pool_eval(x, kernel, bias, gamma, beta, mean, var,
             .astype(x.dtype))
 
 
-def _fwd_rule(x, kernel, bias, gamma, beta, eps):
-    return _fwd_impl(x, kernel, bias, gamma, beta, eps)
+def _fwd_rule(x, kernel, bias, gamma, beta, eps, axis=None):
+    return _fwd_impl(x, kernel, bias, gamma, beta, eps, axis)
 
 
-def _bwd_rule(eps, res, cotangents):
+def _bwd_rule(eps, axis, res, cotangents):
     dpooled, _dmean, _dvar = cotangents       # mean/var feed non-diff buffers
     x16, w16, wkt, bias, gamma, beta, mean, r = res
     B = x16.shape[0]
@@ -421,14 +435,25 @@ def _bwd_rule(eps, res, cotangents):
     dpt = dpooled.transpose(0, 3, 1, 2).reshape(B, C, Mq)
     t, a1, a3, a2 = _bwd_call(x16, w16, bias, gamma, beta, mean, r, dpt,
                               C, Mq)
-    t1, t2, sx = t[:, 0], t[:, 1], t[:, 2]
+    tg = t
+    if axis is not None:
+        # Only the T1/T2/Sx sums need to be GLOBAL here: they feed the BN
+        # chain rule multiplicatively (dx, and the -A*T/n terms of dW/db).
+        # Everything returned as a parameter cotangent must stay the LOCAL
+        # batch contribution — shard_map's transpose inserts the psum over
+        # `axis` for replicated (P()) inputs itself (the DDP gradient
+        # all-reduce), so dW/db/dgamma/dbeta below are per-shard partials
+        # that are linear in the local sums given global T1/T2/n.
+        tg = jax.lax.psum(t, axis)
+        n = n * jax.lax.axis_size(axis)
+    t1, t2, sx = tg[:, 0], tg[:, 1], t[:, 2]
     g32 = gamma.astype(jnp.float32)
     rg = r * g32
     dW = (rg[:, None] * (a1 - a2[None, :] * (t1[:, None] / n)
                          - a3 * (t2[:, None] / n))).T     # (9, C)
     db = -(rg * sx * t2) / n
-    dgamma = t2
-    dbeta = t1
+    dgamma = t[:, 1]          # local contribution (see the psum note above)
+    dbeta = t[:, 0]
     dy_full = _dx_call(x16, w16, bias, gamma, beta, mean, r, t1, t2, n, dpt,
                        H, W, C, Mq)
     # dx[h, w] = sum_{s, c} dy_full[c, h-(dh-1), w-(dw-1)] * W[s, c]
@@ -445,3 +470,30 @@ def _bwd_rule(eps, res, cotangents):
 
 
 fused_conv1_bn_relu_pool.defvjp(_fwd_rule, _bwd_rule)
+
+
+def fused_conv1_bn_relu_pool_sharded(x, kernel, bias, gamma, beta, mesh,
+                                     eps=1e-5, axis="data"):
+    """Data-parallel fused block: the Pallas kernel is batch-parallel, so
+    under a batch-sharded mesh it runs per-shard inside shard_map with the
+    two cross-shard quantities psum'd over `axis` (BN moment partials in the
+    forward, parameter-gradient partials in the backward).  Semantically
+    identical to the unsharded call on the gathered batch — the reference
+    wraps *every* model in DDP + SyncBatchNorm (utils/utils.py:410-417), and
+    this is its TPU-native form for the one op GSPMD treats as opaque.
+
+    x (B, H, W, 1) with B divisible by the 'data' axis size; params
+    replicated.  Returns (pooled (B, H/2, W/2, C), mean (C,), var (C,))
+    with mean/var computed over the GLOBAL batch."""
+    from jax.sharding import PartitionSpec as P
+
+    f = jax.shard_map(
+        functools.partial(fused_conv1_bn_relu_pool, eps=eps, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis), P(), P()),
+        # vma tracking can't see through pallas_call outputs; replication of
+        # the P() outputs/grads is established manually by the psums above
+        check_vma=False,
+    )
+    return f(x, kernel, bias, gamma, beta)

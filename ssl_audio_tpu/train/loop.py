@@ -130,7 +130,8 @@ class Trainer:
         # size, not the device count (model-parallel devices share a shard)
         n_dev = self.mesh.shape["data"]
         self.mods, self.state = init_train_state(
-            cfg, jax.random.key(cfg.seed), niter_per_ep=self.niter_per_ep, byol=byol
+            cfg, jax.random.key(cfg.seed), niter_per_ep=self.niter_per_ep,
+            byol=byol, mesh=self.mesh,
         )
         self.state = self._replicate(self.state)
         # Donation is the right default on real TPU deployments (frees input

@@ -33,11 +33,14 @@ class TrainState:
 
 
 class Modules:
-    """Static bundle: encoder/head/predictor modules + cfg (not a pytree)."""
+    """Static bundle: encoder/head/predictor modules + cfg (not a pytree).
 
-    def __init__(self, cfg):
+    `mesh` (optional): the training mesh — build_encoder routes the AudioNTT
+    fused kernel through its shard_map form on multi-device data meshes."""
+
+    def __init__(self, cfg, mesh=None):
         self.cfg = cfg
-        self.encoder, self.feature_dim = build_encoder(cfg)
+        self.encoder, self.feature_dim = build_encoder(cfg, mesh=mesh)
         self.head = BarlowTwinsHead(
             projector_n_hidden_layers=cfg.projector_n_hidden_layers,
             projector_hidden_dim=cfg.projector_hidden_dim,
@@ -115,9 +118,10 @@ class Modules:
 
 
 def init_train_state(
-    cfg, rng: jax.Array, niter_per_ep: int = 100, byol: bool = False
+    cfg, rng: jax.Array, niter_per_ep: int = 100, byol: bool = False,
+    mesh=None,
 ) -> tuple[Modules, TrainState]:
-    mods = Modules(cfg)
+    mods = Modules(cfg, mesh=mesh)
     k_enc, k_head, k_pred, k_extra = jax.random.split(rng, 4)
     if cfg.dataset == "cifar10":
         sample = jnp.zeros((2, 3, 32, 32), jnp.float32)

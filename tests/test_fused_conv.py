@@ -98,6 +98,58 @@ class TestGradients:
         np.testing.assert_allclose(dx_f, dx_r, atol=2e-4, rtol=1e-3)
 
 
+class TestSharded:
+    """shard_map form of the kernel over the 8-device data mesh
+    (VERDICT r3 #1): per-shard Pallas calls, psum'd BN moments (fwd) and
+    parameter-gradient partials (bwd) — values and every grad must match
+    the unsharded kernel on the gathered batch."""
+
+    def _sharded(self, mesh):
+        from ssl_audio_tpu.ops.fused_conv import (
+            fused_conv1_bn_relu_pool_sharded,
+        )
+
+        return functools.partial(fused_conv1_bn_relu_pool_sharded, mesh=mesh)
+
+    @pytest.mark.parametrize("ties", [False, True])
+    def test_forward_and_grads_match_unsharded(self, rng, ties):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ssl_audio_tpu.parallel import get_mesh
+
+        mesh = get_mesh(8)
+        x, k, b, g, be = make_inputs(rng, B=16, ties=ties)
+        xs = jax.device_put(np.asarray(x), NamedSharding(mesh, P("data")))
+        dp = jnp.asarray(
+            rng.standard_normal((16, 8, 12, 64)).astype(np.float32))
+        fused_sharded = self._sharded(mesh)
+
+        p_s, m_s, v_s = jax.jit(fused_sharded)(xs, k, b, g, be)
+        p_u, m_u, v_u = fused_conv1_bn_relu_pool(x, k, b, g, be)
+        np.testing.assert_allclose(m_s, m_u, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(v_s, v_u, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(p_s, p_u, atol=1e-5, rtol=1e-5)
+
+        def loss(fn, x, k, b, g, be):
+            p, m, v = fn(x, k, b, g, be)
+            return jnp.sum(p * dp) + jnp.sum(m) - jnp.sum(v)
+
+        gs = jax.jit(jax.grad(functools.partial(loss, fused_sharded),
+                              argnums=(0, 2, 3, 4)))(xs, k, b, g, be)
+        gu = jax.grad(functools.partial(loss, fused_conv1_bn_relu_pool),
+                      argnums=(0, 2, 3, 4))(x, k, b, g, be)
+        for a, r, name in zip(gs, gu, ["x", "bias", "gamma", "beta"]):
+            np.testing.assert_allclose(a, r, atol=2e-4, rtol=1e-3,
+                                       err_msg=name)
+        # kernel grad separately (db is exact-zero + float noise; covered
+        # via the bias entry above at atol)
+        dk_s = jax.jit(jax.grad(functools.partial(loss, fused_sharded),
+                                argnums=1))(xs, k, b, g, be)
+        dk_u = jax.grad(functools.partial(loss, fused_conv1_bn_relu_pool),
+                        argnums=1)(x, k, b, g, be)
+        np.testing.assert_allclose(dk_s, dk_u, atol=2e-4, rtol=1e-3)
+
+
 class TestModuleIntegration:
     def _models(self):
         return (AudioNTT2022(fused_conv=False), AudioNTT2022(fused_conv=True))

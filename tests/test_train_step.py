@@ -189,10 +189,45 @@ class TestDataParallel:
             float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
         )
 
+    def test_8device_sharded_fused_conv_flagship(self, rng):
+        """The flagship training config — audiontt --fused_conv
+        --pool_reorder — under the 8-device data mesh: the Pallas kernel
+        runs per-shard via shard_map (psum'd BN moments + grad partials,
+        ops/fused_conv.fused_conv1_bn_relu_pool_sharded) and the step loss
+        matches the unsharded single-device kernel (VERDICT r3 #1; the
+        reference DDP-wraps every model, utils/utils.py:410-417)."""
+        assert len(jax.devices()) == 8
+        mesh = get_mesh(8)
+        cfg = small_cfg(batch_size=16, fused_conv=True, pool_reorder=True)
+        mods, state = init_train_state(cfg, jax.random.key(0), mesh=mesh)
+        assert mods.encoder.fused_conv and mods.encoder.fused_mesh is mesh
+        step = make_train_step(mods, donate=False)
+        batch = make_batch(rng, b=16)
+        sharded_batch = shard_batch(np.asarray(batch), mesh)
+        new_state, m_sharded = step(state, sharded_batch,
+                                    jax.random.key(1), 0.0)
+        # unsharded oracle: same config through the single-device kernel
+        mods_u, state_u = init_train_state(cfg, jax.random.key(0), mesh=None)
+        assert mods_u.encoder.fused_mesh is None
+        step_u = make_train_step(mods_u, donate=False)
+        _, m_single = step_u(state_u, batch, jax.random.key(1), 0.0)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
+        )
+        # BN running stats folded from the GLOBAL-batch moments: must match
+        # the unsharded kernel's update too
+        bs = jax.device_get(new_state.batch_stats["encoder"])
+        bs_u = jax.device_get(
+            step_u(state_u, batch, jax.random.key(1), 0.0)[0]
+            .batch_stats["encoder"])
+        for a, b in zip(jax.tree.leaves(bs), jax.tree.leaves(bs_u)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
     def test_8device_sharded_step_with_pool_reorder(self, rng):
         """--pool_reorder is pure XLA ops and must shard under GSPMD with no
-        single-device restriction (unlike the opaque fused_conv kernel, which
-        auto-disables on a mesh): the sharded-step loss matches unsharded."""
+        single-device restriction (the opaque fused_conv kernel shards via
+        its shard_map form instead — test above): the sharded-step loss
+        matches unsharded."""
         assert len(jax.devices()) == 8
         cfg = small_cfg(batch_size=16, mixup=False, pool_reorder=True)
         mods, state = init_train_state(cfg, jax.random.key(0))
