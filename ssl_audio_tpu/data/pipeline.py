@@ -38,6 +38,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        if process_count > 1 and not drop_last:
+            # a ragged tail global batch would split unevenly across
+            # processes and desync their dispatch counts
+            raise ValueError("multi-process loading requires drop_last=True")
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -49,15 +53,24 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # shard by process (DistributedSampler equivalent): contiguous stride
-        idx = idx[self.process_index :: self.process_count]
         return idx
 
+    @property
+    def _global_batch(self) -> int:
+        """Rows per assembled global batch.  `batch_size` is the PER-PROCESS
+        yield; multi-host sharding is per-batch contiguous (DistributedSampler
+        equivalent, reference main.py:303-309): global batch b is
+        idx[b*G:(b+1)*G] and process p supplies rows [p*L:(p+1)*L] of it, so
+        concatenating the process shards in process order reproduces the
+        single-process batch rows exactly (the runs then differ only by
+        collective reduction order, not by data)."""
+        return self.batch_size * self.process_count
+
     def __len__(self) -> int:
-        n = len(self._indices())
+        n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // self._global_batch
+        return (n + self._global_batch - 1) // self._global_batch
 
     def _collate(self, items) -> Tuple[np.ndarray, np.ndarray]:
         xs = np.stack([it[0] for it in items])
@@ -98,7 +111,9 @@ class DataLoader:
         native = self._native_reader()
 
         def produce_batch(pool, b):
-            batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            g0 = b * self._global_batch
+            batch_idx = idx[g0 + self.process_index * self.batch_size
+                            : g0 + (self.process_index + 1) * self.batch_size]
             if native is not None:
                 paths, labels = self.dataset.batch_paths(batch_idx)
                 xs = native.read(paths, seed=self.seed * 1_000_003 + self.epoch * 131 + b)
@@ -119,7 +134,9 @@ class DataLoader:
                             # back to the python path for this batch (which
                             # applies the dataset's own fallback policy,
                             # datasets.py:335-340)
-                            batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                            g0 = b * self._global_batch
+                            p0 = g0 + self.process_index * self.batch_size
+                            batch_idx = idx[p0 : p0 + self.batch_size]
                             items = list(pool.map(self.dataset.__getitem__, batch_idx))
                             q.put(self._collate(items))
                 q.put(None)

@@ -193,11 +193,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(x, mesh: Optional[Mesh], axis: int = 0):
     """Device-put a host batch with `axis` split over the 'data' mesh
-    (axis=1 for (n_steps, B, ...) stacks used by --steps_per_dispatch)."""
+    (axis=1 for (n_steps, B, ...) stacks used by --steps_per_dispatch).
+
+    Multi-process (jax.distributed): `x` is this process's LOCAL slice of
+    the global batch (the DataLoader's per-batch contiguous shard) and the
+    global array is assembled across processes — concatenation in process
+    order, matching the single-process row order (pipeline._global_batch)."""
     if mesh is None:
         return jax.device_put(x)
     if axis == 0:
-        return jax.device_put(x, batch_sharding(mesh))
-    spec = [None] * np.ndim(x)
-    spec[axis] = "data"
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        spec = P("data")
+    else:
+        s = [None] * np.ndim(x)
+        s[axis] = "data"
+        spec = P(*s)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)

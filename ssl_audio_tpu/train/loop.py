@@ -116,10 +116,19 @@ class Trainer:
         self.wandb_run = wandb_run
 
         self.dataset = dataset if dataset is not None else get_train_dataset(cfg, data_dir)
+        # cfg.batch_size is the GLOBAL batch (the reference's --batch_size;
+        # per-GPU = global/world at main.py:357): each process loads its
+        # contiguous 1/process_count of every global batch and shard_batch
+        # assembles the global array (parallel/mesh.py)
+        n_proc = jax.process_count()
+        if cfg.batch_size % n_proc:
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must divide across "
+                f"{n_proc} processes")
         self.loader = DataLoader(
-            self.dataset, cfg.batch_size, shuffle=True, drop_last=True,
-            num_workers=cfg.num_workers, seed=cfg.seed,
-            process_index=jax.process_index(), process_count=jax.process_count(),
+            self.dataset, cfg.batch_size // n_proc, shuffle=True,
+            drop_last=True, num_workers=cfg.num_workers, seed=cfg.seed,
+            process_index=jax.process_index(), process_count=n_proc,
         )
         self.niter_per_ep = len(self.loader)
 
@@ -436,9 +445,13 @@ class Trainer:
         for epoch in range(start_epoch, cfg.epochs + 1):
             self.train_one_epoch(epoch)
             if ckpt_path and (epoch % cfg.epoch_save_f == 0 or epoch == cfg.epochs):
+                path = os.path.join(ckpt_path, f"model_{epoch}")
+                # the Orbax save is a COLLECTIVE in multi-process runs (it
+                # barriers internally; the primary host writes) — every
+                # process must call it.  Net effect = the reference's
+                # save_on_master (utils.py:389-391): one file, rank-0 data.
+                ckpt_lib.save_checkpoint(path, jax.device_get(self.state), epoch + 1)
                 if jax.process_index() == 0:
-                    path = os.path.join(ckpt_path, f"model_{epoch}")
-                    ckpt_lib.save_checkpoint(path, jax.device_get(self.state), epoch + 1)
                     ckpt_lib.save_rng(path, self.rng_key, self.host_rng)
                     print(f"Saved checkpoint {path}")
             if eval_fn and (epoch % cfg.epoch_eval_f == 0 or epoch == cfg.epochs):

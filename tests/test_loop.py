@@ -40,11 +40,16 @@ class TestDataLoader:
         x, y = batches[0]
         assert x.shape == (8, 1, 64, 96) and y.shape == (8, 10)
 
-        # process sharding splits indices disjointly
+        # process sharding: per-batch contiguous — concatenating the two
+        # process shards in order reproduces the single-process batch rows
+        # exactly (multi-process runs are bit-comparable to single-process)
+        dl_g = DataLoader(ds, batch_size=8, shuffle=False)
         dl0 = DataLoader(ds, batch_size=4, shuffle=False, process_index=0, process_count=2)
         dl1 = DataLoader(ds, batch_size=4, shuffle=False, process_index=1, process_count=2)
-        assert set(dl0._indices()).isdisjoint(set(dl1._indices()))
-        assert len(dl0._indices()) + len(dl1._indices()) == 35
+        assert len(dl0) == len(dl1) == len(dl_g) == 4
+        for (xg, yg), (x0, y0), (x1, y1) in zip(dl_g, dl0, dl1):
+            np.testing.assert_array_equal(xg, np.concatenate([x0, x1]))
+            np.testing.assert_array_equal(yg, np.concatenate([y0, y1]))
 
     def test_epoch_reshuffle(self):
         cfg = tiny_cfg()

@@ -19,12 +19,80 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class _LegacyTrainerShim:
+    """Trainer-shaped wrapper over the legacy DINO/BYOL-A steps
+    (train/legacy_steps.py; epoch loop mirrors main_pretrain.run_legacy) so
+    probe_score sees the same .mods/.state surface — LegacyModules exposes
+    .encoder and params/batch_stats['encoder'] exactly like Modules."""
+
+    def __init__(self, cfg, method: str, dataset):
+        import jax
+        import numpy as np
+
+        from ssl_audio_tpu.data.pipeline import DataLoader
+        from ssl_audio_tpu.objectives.dino import teacher_temp_schedule
+        from ssl_audio_tpu.parallel import get_mesh
+        from ssl_audio_tpu.train.legacy_steps import (
+            init_legacy_state,
+            make_byola_train_step,
+            make_dino_train_step,
+        )
+
+        self.cfg = cfg
+        self.method = method
+        self.loader = DataLoader(dataset, cfg.batch_size, shuffle=True,
+                                 drop_last=True, num_workers=cfg.num_workers,
+                                 seed=cfg.seed)
+        self.mesh = get_mesh(cfg.data_axis_size)
+        self.mods, self.state = init_legacy_state(
+            cfg, jax.random.key(cfg.seed), method,
+            niter_per_ep=len(self.loader))
+        if method == "dino":
+            self.step = make_dino_train_step(self.mods)
+            self.temp = teacher_temp_schedule(0.04, 0.07, min(10, cfg.epochs),
+                                              cfg.epochs)
+            self.mom = 1.0 - (1.0 - 0.996) * 0.5 * (
+                1 + np.cos(np.pi * np.arange(max(cfg.epochs, 1))
+                           / max(cfg.epochs, 1)))
+        else:
+            self.step = make_byola_train_step(self.mods)
+        self.key = jax.random.key(cfg.seed + 1)
+
+    def train_one_epoch(self, epoch: int) -> float:
+        import jax
+        import numpy as np
+
+        from ssl_audio_tpu.parallel import shard_batch
+
+        self.loader.set_epoch(epoch)
+        losses = []
+        for lms, _y in self.loader:
+            self.key, k = jax.random.split(self.key)
+            batch = shard_batch(lms, self.mesh)
+            if self.method == "dino":
+                self.state, m = self.step(
+                    self.state, batch, k,
+                    np.float32(self.temp[epoch - 1]),
+                    np.float32(self.mom[epoch - 1]))
+            else:
+                self.state, m = self.step(self.state, batch, k,
+                                          np.float32(0.0))
+            losses.append(m["loss"])
+        vals = [float(v) for v in jax.device_get(losses)]
+        assert all(np.isfinite(v) for v in vals), "non-finite loss"
+        return float(np.mean(vals))
+
+
 def main(argv=None):
     from ssl_audio_tpu.config import Config, build_argparser, setup_model_defaults
 
     parser = build_argparser()
     parser.add_argument("--eval", type=str, default="linear",
                         choices=["linear", "knn"])
+    # SSL objective family (reference old/main_pretrain.py --method):
+    # dino/byola route through the legacy steps for their probe-rise proofs
+    parser.add_argument("--method", type=str, default="barlow",
+                        choices=["barlow", "dino", "byola"])
     parser.add_argument("--out", type=str, default="learning_proof.json")
     # hard-synthetic difficulty: at these settings a random-init AudioNTT
     # linear probe scores ~0.21 over 20 classes (chance 0.05), leaving
@@ -64,7 +132,8 @@ def main(argv=None):
         )
         train_ds = hard(length=cfg.synthetic_steps_per_epoch * cfg.batch_size,
                         seed=cfg.seed)
-        trainer = Trainer(cfg, dataset=train_ds)
+        trainer = (Trainer(cfg, dataset=train_ds) if args.method == "barlow"
+                   else _LegacyTrainerShim(cfg, args.method, train_ds))
         mk = functools.partial(DataLoader, batch_size=cfg.batch_size,
                                shuffle=False, drop_last=False,
                                num_workers=cfg.num_workers)
@@ -89,7 +158,8 @@ def main(argv=None):
         )
         train_ds = task(length=cfg.synthetic_steps_per_epoch * cfg.batch_size,
                         seed=cfg.seed)
-        trainer = Trainer(cfg, dataset=train_ds)
+        trainer = (Trainer(cfg, dataset=train_ds) if args.method == "barlow"
+                   else _LegacyTrainerShim(cfg, args.method, train_ds))
         mk = functools.partial(DataLoader, batch_size=cfg.batch_size,
                                shuffle=False, drop_last=False,
                                num_workers=cfg.num_workers)
@@ -100,12 +170,18 @@ def main(argv=None):
 
         sweep_mod.CLASSES["synthetic_multicue"] = train_ds.n_classes
     else:
-        trainer = Trainer(cfg)
+        if args.method == "barlow":
+            trainer = Trainer(cfg)
+        else:
+            from ssl_audio_tpu.train.loop import get_train_dataset
+
+            trainer = _LegacyTrainerShim(cfg, args.method,
+                                         get_train_dataset(cfg))
         eval_loaders = get_eval_loaders(cfg)
 
     record = {"config": {"dataset": cfg.dataset, "model_type": cfg.model_type,
                          "batch_size": cfg.batch_size, "epochs": cfg.epochs,
-                         "eval": args.eval},
+                         "eval": args.eval, "method": args.method},
               "epochs": []}
     t0 = time.time()
     s = probe_score(cfg, trainer.mods, trainer.state, eval_loaders, args.eval)
