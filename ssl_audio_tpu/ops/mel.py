@@ -124,6 +124,46 @@ class MelSpec:
         return C, S
 
     @functools.cached_property
+    def dft_matrices_folded(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """(C_half, S_half): (n_fft//2+1, n_freqs) bases for the even/odd
+        FOLDED frame representation — the TPU-native halving of the DFT GEMM.
+
+        The windowed cos basis is symmetric about the frame midpoint and the
+        sin basis antisymmetric (periodic Hann: w[n] == w[N-n]):
+
+            re[k] = sum_n f[n] C[n,k] = sum_{n<=N/2} e[n] C_half[n,k]
+            im[k] = sum_n f[n] S[n,k] = sum_{n<=N/2} o[n] S_half[n,k]
+
+        with e[n] = f[n] + f[(N-n) % N],  o[n] = f[n] - f[(N-n) % N]
+        (so e[0] = 2 f[0], e[N/2] = 2 f[N/2] -> rows 0 and N/2 of C are
+        halved — exact in fp).  Same sums, reassociated pairwise: HALF the
+        MXU passes at every precision, which is the whole cost of the
+        fp32-HIGHEST (6-pass) slot.  Returns None when the window is not
+        midpoint-symmetric (then callers use the unfolded bases)."""
+        if self.n_fft % 2:
+            return None
+        w = self.window.astype(np.float64)
+        idx = (self.n_fft - np.arange(self.n_fft)) % self.n_fft
+        if not np.allclose(w, w[idx], rtol=0, atol=0):
+            return None
+        C, S = self.dft_matrices
+        h = self.n_fft // 2 + 1
+        C_half = C[:h].copy()
+        C_half[0] *= 0.5
+        C_half[self.n_fft // 2] *= 0.5
+        return C_half, S[:h].copy()
+
+    @functools.cached_property
+    def dft_matrices_mel_folded(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Folded bases truncated to n_freqs_used columns (mel outputs)."""
+        folded = self.dft_matrices_folded
+        if folded is None:
+            return None
+        C_half, S_half = folded
+        k = self.n_freqs_used
+        return C_half[:, :k], S_half[:, :k]
+
+    @functools.cached_property
     def filterbank(self) -> np.ndarray:
         return mel_filterbank(
             self.n_freqs, self.f_min, self.f_max, self.n_mels, self.sample_rate
@@ -186,6 +226,21 @@ def frame_signal(wav: jnp.ndarray, spec: MelSpec) -> jnp.ndarray:
     return x[..., idx]
 
 
+def _fold_frames(x: jnp.ndarray, spec: MelSpec,
+                 starts: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., L_padded) -> (e, o) folded frames, each (..., T, n_fft//2+1),
+    gathered straight from the padded signal — the (..., T, n_fft) frames
+    tensor (a 6.4x HBM blow-up at hop 160) never exists.  e/o feed the
+    folded half-size DFT bases (see MelSpec.dft_matrices_folded)."""
+    h = spec.n_fft // 2 + 1
+    n = np.arange(h)
+    idx_f = starts[:, None] + n[None, :]                          # (T, h)
+    idx_m = starts[:, None] + (spec.n_fft - n) % spec.n_fft
+    a = x[..., idx_f]
+    b = x[..., idx_m]
+    return a + b, a - b
+
+
 # The DFT-as-GEMM must accumulate in fp32 on the MXU: at the TPU default
 # (single-pass bf16) the cancellation in high-frequency bins costs ~1e-1
 # relative error; at HIGHEST (multi-pass fp32) it is ~4e-6 (measured on v5e).
@@ -200,28 +255,43 @@ def _prec(fast: bool):
     return _PREC_FAST if fast else _PREC
 
 
+def _dft_power(wav: jnp.ndarray, spec: MelSpec, fast: bool,
+               mel_cols: bool) -> jnp.ndarray:
+    """(..., L) -> (..., T, n_freqs[_used]) |DFT|^2 — folded half-size GEMMs
+    when the window is midpoint-symmetric (half the MXU passes; exact same
+    sums pairwise-reassociated), full-frame GEMMs otherwise."""
+    p = _prec(fast)
+    folded = spec.dft_matrices_mel_folded if mel_cols else spec.dft_matrices_folded
+    if folded is not None:
+        pad = spec.n_fft // 2
+        x = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)],
+                    mode="reflect")
+        T = spec.num_frames(wav.shape[-1])
+        e, o = _fold_frames(x, spec, np.arange(T) * spec.hop_length)
+        C_half, S_half = folded
+        re = jnp.matmul(e, jnp.asarray(C_half), precision=p)
+        im = jnp.matmul(o, jnp.asarray(S_half), precision=p)
+    else:
+        frames = frame_signal(wav, spec)                           # (..., T, n_fft)
+        C, S = spec.dft_matrices_mel if mel_cols else spec.dft_matrices
+        re = jnp.matmul(frames, jnp.asarray(C), precision=p)
+        im = jnp.matmul(frames, jnp.asarray(S), precision=p)
+    return re * re + im * im
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def power_spectrogram(wav: jnp.ndarray, spec: MelSpec, fast: bool = False) -> jnp.ndarray:
     """(..., L) -> (..., n_freqs, T) power spectrogram via windowed-DFT GEMMs."""
-    frames = frame_signal(wav, spec)                               # (..., T, n_fft)
-    C, S = spec.dft_matrices
-    p = _prec(fast)
-    re = jnp.matmul(frames, jnp.asarray(C), precision=p)           # (..., T, n_freqs)
-    im = jnp.matmul(frames, jnp.asarray(S), precision=p)
-    power = re * re + im * im
+    power = _dft_power(wav, spec, fast, mel_cols=False)
     return jnp.swapaxes(power, -1, -2)                             # (..., n_freqs, T)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def mel_spectrogram(wav: jnp.ndarray, spec: MelSpec, fast: bool = False) -> jnp.ndarray:
     """(..., L) -> (..., n_mels, T) mel power spectrogram."""
-    frames = frame_signal(wav, spec)                               # (..., T, n_fft)
-    C, S = spec.dft_matrices_mel
-    p = _prec(fast)
-    re = jnp.matmul(frames, jnp.asarray(C), precision=p)
-    im = jnp.matmul(frames, jnp.asarray(S), precision=p)
-    power = re * re + im * im                                      # (..., T, n_used)
-    mel = jnp.matmul(power, jnp.asarray(spec.filterbank_mel), precision=p)
+    power = _dft_power(wav, spec, fast, mel_cols=True)             # (..., T, n_used)
+    mel = jnp.matmul(power, jnp.asarray(spec.filterbank_mel),
+                     precision=_prec(fast))
     return jnp.swapaxes(mel, -1, -2)
 
 
@@ -257,13 +327,20 @@ def log_mel_spectrogram_cropped(
     seg = jax.vmap(
         lambda w, s: jax.lax.dynamic_slice(w, (s * spec.hop_length,), (seg_len,))
     )(x, starts.astype(jnp.int32))                              # (B, seg_len)
-    idx = (np.arange(out_frames) * spec.hop_length)[:, None] + \
-        np.arange(spec.n_fft)[None, :]                          # (T', n_fft)
-    frames = seg[:, idx]                                        # (B, T', n_fft)
     p = _prec(fast)
-    C, S = spec.dft_matrices_mel
-    re = jnp.matmul(frames, jnp.asarray(C), precision=p)
-    im = jnp.matmul(frames, jnp.asarray(S), precision=p)
+    frame_starts = np.arange(out_frames) * spec.hop_length
+    folded = spec.dft_matrices_mel_folded
+    if folded is not None:
+        e, o = _fold_frames(seg, spec, frame_starts)            # (B, T', h)
+        C_half, S_half = folded
+        re = jnp.matmul(e, jnp.asarray(C_half), precision=p)
+        im = jnp.matmul(o, jnp.asarray(S_half), precision=p)
+    else:
+        idx = frame_starts[:, None] + np.arange(spec.n_fft)[None, :]
+        frames = seg[:, idx]                                    # (B, T', n_fft)
+        C, S = spec.dft_matrices_mel
+        re = jnp.matmul(frames, jnp.asarray(C), precision=p)
+        im = jnp.matmul(frames, jnp.asarray(S), precision=p)
     power = re * re + im * im
     mel = jnp.matmul(power, jnp.asarray(spec.filterbank_mel), precision=p)
     return jnp.log(jnp.swapaxes(mel, -1, -2) + TORCH_FLOAT32_EPS)
