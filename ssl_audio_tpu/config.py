@@ -126,6 +126,16 @@ class Config:
     # on for TPU training (pure XLA ops, GSPMD-shardable), off on CPU so
     # test oracles keep the literal flax composition.
     pool_reorder: bool | None = None
+    # Pallas fused multi-head attention for the ViT family
+    # (ops/fused_attention.py): head-packed block-diagonal dots on the raw
+    # qkv GEMM output.  Measured NEUTRAL-to-negative on the full ViT-B
+    # B=128 train step (41.77 vs 41.27 ms same-day A/B, 2026-08-18) — XLA's
+    # full-graph lowering already folds the attention formatting into the
+    # surrounding GEMMs (adjudication in PERF.md "Fused attention (r4)").
+    # None = auto: OFF.  --fused_attention opts in (single chip or a 1-D
+    # 'data' mesh via shard_map; parity-tested in
+    # tests/test_fused_attention.py).
+    fused_attention: bool | None = None
     # Wav-domain training frontend DFT/mel matmul precision: True runs the
     # three GEMMs at lax.Precision.HIGH (bf16x3, ~2e-4 rel log-mel error —
     # the same mode the HEAR fast_mel path ships) instead of HIGHEST.
@@ -274,6 +284,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_fused_conv", dest="fused_conv", action="store_false")
     p.add_argument("--pool_reorder", action="store_true", default=None)
     p.add_argument("--no_pool_reorder", dest="pool_reorder",
+                   action="store_false")
+    p.add_argument("--fused_attention", action="store_true", default=None)
+    p.add_argument("--no_fused_attention", dest="fused_attention",
                    action="store_false")
     p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)

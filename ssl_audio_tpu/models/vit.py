@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ssl_audio_tpu.ops.fused_attention import (
+    fused_attention,
+    fused_attention_sharded,
+)
+from ssl_audio_tpu.ops.fused_attention import supports as fused_attention_supports
 from ssl_audio_tpu.ops.pos_embed import get_2d_sincos_pos_embed, get_sinusoid_encoding_table
 
 NEG_INF = -1e9
@@ -105,11 +110,20 @@ class ConvStem(nn.Module):
 class AttentionKBiasZero(nn.Module):
     """Multi-head attention whose qkv projection has biases only for q and v
     (k bias pinned at zero — reference mae.py:102-141).  `key_bias` is an
-    additive (B, 1, 1, N) logit bias used for token masking."""
+    additive (B, 1, 1, N) logit bias used for token masking.
+
+    With `fused=True` (opt-in; measured neutral on this chip — PERF.md
+    "Fused attention (r4)") the qkv-unpack + QK^T + softmax + AV region
+    runs as one Pallas kernel on the RAW (B, N, 3C) projection output
+    (ops/fused_attention.py).  Identical math at bf16-MXU rounding; einsum
+    fallback for return_attention and shapes outside the kernel
+    envelope."""
 
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    fused: bool = False
+    fused_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -127,14 +141,23 @@ class AttentionKBiasZero(nn.Module):
             q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
             qkv = qkv + jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
-        qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, N, hd)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
-        if key_bias is not None:
-            attn = attn + key_bias
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        if (self.fused and not return_attention
+                and fused_attention_supports(B, N, C, H)):
+            bias2 = (jnp.zeros((B, N), jnp.float32) if key_bias is None
+                     else key_bias[:, 0, 0, :].astype(jnp.float32))
+            if self.fused_mesh is not None:
+                out = fused_attention_sharded(qkv, bias2, H, self.fused_mesh)
+            else:
+                out = fused_attention(qkv, bias2, H)
+        else:
+            qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]                  # (B, H, N, hd)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
+            if key_bias is not None:
+                attn = attn + key_bias
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(C, kernel_init=xavier_uniform, name="proj")(out)
         if return_attention:
             return out, attn
@@ -173,6 +196,8 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     ln_eps: float = 1e-6
+    fused_attention: bool = False
+    fused_attn_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -182,7 +207,9 @@ class Block(nn.Module):
         train: bool = True,
         return_attention: bool = False,
     ):
-        attn_mod = AttentionKBiasZero(self.dim, self.num_heads, name="attn")
+        attn_mod = AttentionKBiasZero(
+            self.dim, self.num_heads, name="attn",
+            fused=self.fused_attention, fused_mesh=self.fused_attn_mesh)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         if return_attention:
             _, attn = attn_mod(h, key_bias, return_attention=True)
@@ -235,10 +262,18 @@ class ViTSpec:
     # backward pass (jax.checkpoint) — trades ~33% more FLOPs for O(depth)
     # less activation HBM; the TPU lever for large-batch/long-sequence runs
     remat: bool = False
+    # Pallas fused attention (ops/fused_attention.py): qkv-unpack + QK^T +
+    # softmax + AV as one kernel on the raw qkv GEMM output — see
+    # AttentionKBiasZero.  Applied to encoder AND decoder blocks; shapes
+    # outside the kernel envelope fall back to the einsum path per-block.
+    fused_attention: bool = False
 
 
 class MaskedAutoencoderViT(nn.Module):
     spec: ViTSpec
+    # static mesh handle for the shard_map fused-attention form (like
+    # AudioNTT2022.fused_mesh); None = single-device pallas_call
+    fused_attn_mesh: Optional[object] = None
 
     @property
     def img_size(self) -> Tuple[int, int]:
@@ -306,6 +341,8 @@ class MaskedAutoencoderViT(nn.Module):
                 s.num_heads,
                 s.mlp_ratio,
                 drop_path=float(np.linspace(0, s.drop_path_rate, s.depth)[i]),
+                fused_attention=s.fused_attention,
+                fused_attn_mesh=self.fused_attn_mesh,
                 name=f"block{i}",
             )
             for i in range(s.depth)
@@ -323,6 +360,8 @@ class MaskedAutoencoderViT(nn.Module):
             self.decoder_pos_embed = jnp.asarray(dtab[None])
             self.decoder_blocks = [
                 Block(s.decoder_embed_dim, s.decoder_num_heads, s.mlp_ratio,
+                      fused_attention=s.fused_attention,
+                      fused_attn_mesh=self.fused_attn_mesh,
                       name=f"decoder_block{i}")
                 for i in range(s.decoder_depth)
             ]
@@ -515,6 +554,7 @@ def get_mae_vit(
     in_chans: int = 1,
     use_decoder: bool = False,
     use_learned_pos_embd: bool = False,
+    fused_attn_mesh=None,
     **kw,
 ) -> MaskedAutoencoderViT:
     """Factory matching reference get_mae_vit (mae.py:576-596)."""
@@ -540,4 +580,4 @@ def get_mae_vit(
         decoder_num_heads=6,
         **kw,
     )
-    return MaskedAutoencoderViT(spec)
+    return MaskedAutoencoderViT(spec, fused_attn_mesh=fused_attn_mesh)

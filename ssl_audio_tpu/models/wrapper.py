@@ -66,11 +66,32 @@ def build_encoder(cfg, mesh=None) -> Tuple[nn.Module, int]:
         conv_stem = mt.split("_")[0] == "vitc"
         size = mt.split("_")[-1]
         remat = bool(getattr(cfg, "remat", False))
+        # fused attention: per-sample op, shard_map over a pure 1-D 'data'
+        # mesh (no cross-shard quantities at all); off under TP/2-D meshes
+        # where heads are Megatron-sharded over 'model'
+        fa_shardable = (
+            mesh is not None
+            and tuple(mesh.axis_names) == ("data",)
+            and mesh.shape["data"] > 1
+            and cfg.batch_size % mesh.shape["data"] == 0
+        )
+        fa = getattr(cfg, "fused_attention", None)
+        if fa is None:
+            # auto: OFF — the Pallas kernel measured NEUTRAL-to-negative on
+            # the full ViT-B B=128 train step (41.77 vs 41.27 ms same-day
+            # A/B) and 7.5x slower in isolation (0.454 vs 0.060 ms/layer
+            # fwd+bwd): XLA's full-graph lowering already folds the
+            # attention formatting into the surrounding GEMMs.  Full
+            # adjudication in PERF.md "Fused attention (r4)".  Opt-in via
+            # --fused_attention for future chips/shapes.
+            fa = False
         if cfg.dataset == "cifar10":
             enc = vit.get_mae_vit(
                 size, cfg.patch_size, conv_stem,
                 use_learned_pos_embd=cfg.use_learned_pos_embd,
                 img_size=(32, 32), in_chans=3, remat=remat,
+                fused_attention=bool(fa),
+                fused_attn_mesh=mesh if (bool(fa) and fa_shardable) else None,
             )
         else:
             enc = vit.get_mae_vit(
@@ -78,6 +99,8 @@ def build_encoder(cfg, mesh=None) -> Tuple[nn.Module, int]:
                 use_learned_pos_embd=cfg.use_learned_pos_embd,
                 img_size=(cfg.n_mels, cfg.crop_frames),
                 use_decoder=cfg.masked_recon, remat=remat,
+                fused_attention=bool(fa),
+                fused_attn_mesh=mesh if (bool(fa) and fa_shardable) else None,
             )
     else:
         raise NotImplementedError(f"Model type {mt} is not supported")

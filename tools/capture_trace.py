@@ -21,6 +21,10 @@ def main(argv=None):
     p.add_argument("--use_fp16", action="store_true", default=False)
     p.add_argument("--fused_conv", action="store_true", default=False)
     p.add_argument("--fast_mel", action="store_true", default=False)
+    p.add_argument("--fused_attention", action="store_true", default=None)
+    p.add_argument("--no_fused_attention", dest="fused_attention",
+                   action="store_false")
+    p.add_argument("--token_drop", action="store_true", default=False)
     p.add_argument("--wav", action="store_true", default=False)
     p.add_argument("--scan", action="store_true", default=False)
     p.add_argument("--out", required=True)
@@ -39,11 +43,19 @@ def main(argv=None):
         random_mask_ratio=False,
         mask_ratio=0.3 if "vit" in args.model else 0.0,
         use_fp16=args.use_fp16, fused_conv=args.fused_conv,
-        fast_mel=args.fast_mel,
+        fast_mel=args.fast_mel, fused_attention=args.fused_attention,
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     frontend = make_device_frontend(cfg, (-0.8294, 4.6230)) if args.wav else None
-    step = make_train_step(mods, donate=False, frontend=frontend)
+    step0 = make_train_step(mods, donate=False, frontend=frontend)
+
+    len_keep = None
+    if args.token_drop and "vit" in args.model and cfg.mask_ratio > 0:
+        gh, gw = mods.encoder.grid_size()
+        len_keep = int(np.floor(gh * gw * (1.0 - cfg.mask_ratio)))
+
+    def step(st, batch, key, mr, _lk=len_keep):
+        return step0(st, batch, key, mr, len_keep=_lk)
 
     rng = np.random.default_rng(0)
     if args.wav:

@@ -32,7 +32,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
             use_fp16: bool = False, reps: int = 3, token_drop: bool = False,
             wav: bool = False, fused_conv: bool = False,
             fast_mel: bool = False, pool_reorder=None,
-            patch_size=(16, 16)):
+            fused_attention=None, patch_size=(16, 16)):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +46,8 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
         model_type=model_type, batch_size=batch_size, mask=True,
         random_mask_ratio=False, mask_ratio=0.3 if "vit" in model_type else 0.0,
         use_fp16=use_fp16, fused_conv=fused_conv, fast_mel=fast_mel,
-        pool_reorder=pool_reorder, patch_size=list(patch_size),
+        pool_reorder=pool_reorder, fused_attention=fused_attention,
+        patch_size=list(patch_size),
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
     # --wav: the full end-to-end step — raw 10-s waveforms in, mel + crop +
@@ -116,6 +117,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
         "model": model_type, "batch": batch_size,
         "use_fp16": use_fp16, "token_drop": len_keep is not None, "wav": wav,
         "fused_conv": fused_conv, "pool_reorder": pool_reorder,
+        "fused_attention": fused_attention,
         "ms_per_step": round(per_step * 1e3, 2),
         "steps_per_sec": round(1.0 / per_step, 2),
         "samples_per_sec": round(batch_size / per_step, 1),
@@ -140,6 +142,9 @@ def main(argv=None):
     p.add_argument("--no_pool_reorder", dest="pool_reorder",
                    action="store_false")
     p.add_argument("--fast_mel", action="store_true", default=False)
+    p.add_argument("--fused_attention", action="store_true", default=None)
+    p.add_argument("--no_fused_attention", dest="fused_attention",
+                   action="store_false")
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -157,6 +162,7 @@ def main(argv=None):
                         token_drop=args.token_drop, wav=args.wav,
                         fused_conv=args.fused_conv, fast_mel=args.fast_mel,
                         pool_reorder=args.pool_reorder,
+                        fused_attention=args.fused_attention,
                         patch_size=tuple(args.patch_size))
             r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
             rows.append(r)
