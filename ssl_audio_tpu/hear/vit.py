@@ -35,11 +35,18 @@ class ViTModelWrapper:
     """Holds the Flax ViT, its params, and the HEAR metadata attributes."""
 
     def __init__(self, cfg, model_type: str, model_file_path: str, patch_size,
-                 fetch_dtype: str = "float32", fast_mel: bool = False):
+                 fetch_dtype: str = "float32", fast_mel: bool = False,
+                 compute_dtype: str = "float32"):
         self.cfg = cfg
         # fast_mel: HIGH-precision (3-pass bf16) DFT, ~2e-4 max log-mel err
         # (the same feature-extraction contract the conv wrapper exposes)
         self.fast_mel = fast_mel
+        # compute_dtype="bfloat16": run the encoder forward in bf16 (params
+        # cast once at load, batch_stats kept fp32 — same mixed-precision
+        # contract as the conv wrapper; models/vit.py keeps the pos-embed
+        # adds dtype-preserving and the softmax in f32).  Embeddings shift
+        # by bf16 rounding; opt-in.
+        self.compute_dtype = compute_dtype
         self.use_cls = True if cfg.get("use_cls") is None else cfg.use_cls
         self.sample_rate = cfg.sample_rate
         self.fetch_dtype = fetch_dtype
@@ -55,6 +62,15 @@ class ViTModelWrapper:
             f_min=float(cfg.f_min), f_max=float(cfg.f_max),
         )
         self.variables = self._load_weights(model_file_path)
+        if compute_dtype == "bfloat16":
+            # params only; conv-stem ViTs keep BN running stats fp32 (flax
+            # BatchNorm still emits bf16 outputs for bf16 inputs/params)
+            self.variables = dict(
+                self.variables,
+                params=jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+                    self.variables["params"]))
         self.params = self.variables["params"]
         self._unit_apply = jax.jit(self._unit_apply_impl)
 
@@ -99,7 +115,10 @@ class ViTModelWrapper:
 
     # -- jitted unit encoder -------------------------------------------
     def _unit_apply_impl(self, variables, xu):
-        return self.model.apply(variables, xu, train=False)
+        if self.compute_dtype == "bfloat16":
+            xu = xu.astype(jnp.bfloat16)
+        out = self.model.apply(variables, xu, train=False)
+        return out.astype(jnp.float32)
 
     def encode_lms(self, lms: jnp.ndarray) -> jnp.ndarray:
         """(B, 1, F, T) -> (B, U, D) per-unit CLS tokens
@@ -142,15 +161,19 @@ def load_model(
     cfg_path: str = "hear/config.yaml",
     fetch_dtype: str = "float32",
     fast_mel: bool = False,
+    compute_dtype: str = "float32",
 ) -> ViTModelWrapper:
     """fetch_dtype="bfloat16" halves the timestamp-embedding device->host
     transfer (the wall-clock bottleneck on remote-attached TPUs) at the
-    cost of rounding the returned embeddings to bf16 precision."""
+    cost of rounding the returned embeddings to bf16 precision.
+    compute_dtype="bfloat16" runs the encoder forward itself in bf16
+    (params cast at load; embeddings within bf16 rounding of fp32)."""
     cfg = utils.load_yaml_config(_resolve_cfg_path(cfg_path))
     ps = [int(patch_size.split("x")[0]), int(patch_size.split("x")[-1])]
     return ViTModelWrapper(cfg, model_type, model_file_path, ps,
                            fast_mel=fast_mel,
-                           fetch_dtype=fetch_dtype)
+                           fetch_dtype=fetch_dtype,
+                           compute_dtype=compute_dtype)
 
 
 def _as_numpy(audio) -> np.ndarray:
@@ -211,7 +234,7 @@ def _timestamp_pipeline(model, flat: jnp.ndarray, N: int, encode_fn=None) -> jnp
             from ssl_audio_tpu.eval.encode import encode_lms_units
 
             units = encode_lms_units(
-                lambda xu, _ra: model.model.apply(variables, xu, train=False),
+                lambda xu, _ra: model._unit_apply_impl(variables, xu),
                 m, model.model.img_size[1],
             )
             return units.mean(axis=1)

@@ -152,11 +152,15 @@ class AttentionKBiasZero(nn.Module):
         else:
             qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]                  # (B, H, N, hd)
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (hd ** -0.5)
+            # softmax in f32 regardless of activation dtype (torch AMP
+            # semantics; the fused kernel does the same) — a no-op cast on
+            # fp32 runs, and XLA folds it into the softmax loop fusion
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+            attn = attn * (hd ** -0.5)
             if key_bias is not None:
                 attn = attn + key_bias
             attn = jax.nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(C, kernel_init=xavier_uniform, name="proj")(out)
         if return_attention:
@@ -403,8 +407,13 @@ class MaskedAutoencoderViT(nn.Module):
         else:
             tokens = self.patch_embed(x)
         L = tokens.shape[1]
+        # pos-embed tables are fp32 module constants; cast to the activation
+        # dtype so a bf16 forward (--use_fp16 / compute_dtype="bfloat16")
+        # stays bf16 — the bare add silently promoted every downstream
+        # activation to fp32 (2x block bandwidth + a convert before every
+        # MXU dot; PERF.md "ViT bf16 activations (r4)")
         pe = self._pos_embed_for(F, T)
-        tokens = tokens + pe[:, 1:, :]
+        tokens = tokens + pe[:, 1:, :].astype(tokens.dtype)
 
         ids_keep = None
         if mask is None and len_keep is not None and 0 <= len_keep < L:
@@ -425,7 +434,7 @@ class MaskedAutoencoderViT(nn.Module):
             key_bias = (mask * NEG_INF)[:, None, None, :]      # (B,1,1,L)
             key_bias = jnp.pad(key_bias, ((0, 0), (0, 0), (0, 0), (1, 0)))  # cls visible
 
-        cls = self.cls_token + pe[:, :1, :]
+        cls = (self.cls_token + pe[:, :1, :]).astype(tokens.dtype)
         tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], axis=1)
         return tokens, mask, key_bias, ids_keep
 
@@ -443,9 +452,11 @@ class MaskedAutoencoderViT(nn.Module):
         positions carry their encoding, masked positions the mask token."""
         d = self.decoder_embed(tokens)
         cls, patches = d[:, :1], d[:, 1:]
-        m = mask[..., None]
-        patches = (1.0 - m) * patches + m * self.mask_token
-        x = jnp.concatenate([cls, patches], axis=1) + self.decoder_pos_embed
+        # mask and pos-embed are fp32; cast so a bf16 forward stays bf16
+        m = mask[..., None].astype(d.dtype)
+        patches = (1.0 - m) * patches + m * self.mask_token.astype(d.dtype)
+        x = jnp.concatenate([cls, patches], axis=1) \
+            + self.decoder_pos_embed.astype(d.dtype)
         for blk in self.decoder_blocks:
             x = blk(x, None, False)
         x = self.decoder_norm(x)
@@ -453,8 +464,12 @@ class MaskedAutoencoderViT(nn.Module):
         return x[:, 1:]
 
     def forward_loss(self, imgs, pred, mask):
-        """Masked-patch MSE (mae.py:437-453)."""
-        target = self.patchify(imgs)
+        """Masked-patch MSE (mae.py:437-453).  Computed in f32: on a bf16
+        forward the per-patch mean/var and the (pred-target)^2 reduction
+        would otherwise accumulate at 8 mantissa bits (torch AMP also runs
+        MSE reductions in f32)."""
+        pred = pred.astype(jnp.float32)
+        target = self.patchify(imgs).astype(jnp.float32)
         if self.spec.norm_pix_loss:
             mean = target.mean(axis=-1, keepdims=True)
             var = target.var(axis=-1, keepdims=True)

@@ -86,6 +86,35 @@ class TestViTAPI:
         # timestamps every 50 ms starting at 0
         np.testing.assert_allclose(np.diff(ts[0].numpy()), 50.0, atol=1e-3)
 
+    def test_bf16_compute_close_to_fp32(self, vit_model, rng):
+        """compute_dtype='bfloat16' (bf16 encoder forward; params cast at
+        load, pos-embed adds dtype-preserving, softmax in f32 —
+        models/vit.py) returns float32 embeddings within bf16 activation
+        rounding of the fp32 path, for both API calls."""
+        import jax
+        import jax.numpy as jnp
+
+        audio = torch.from_numpy(
+            rng.standard_normal((2, 32000)).astype(np.float32))
+        bf = hear_vit.load_model("", "vit_tiny", "16x16",
+                                 compute_dtype="bfloat16")
+        # share weights: cast only the params collection, the way load does
+        bf.variables = dict(
+            vit_model.variables,
+            params=jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+                vit_model.variables["params"]))
+        bf.params = bf.variables["params"]
+        ref, _ = hear_vit.get_timestamp_embeddings(audio, vit_model)
+        emb, _ = hear_vit.get_timestamp_embeddings(audio, bf)
+        assert emb.dtype == torch.float32
+        scale = ref.abs().max().item()
+        assert (emb - ref).abs().max().item() <= 0.05 * scale
+        sref = hear_vit.get_scene_embeddings(audio, vit_model)
+        semb = hear_vit.get_scene_embeddings(audio, bf)
+        assert (semb - sref).abs().max().item() <= 0.05 * sref.abs().max().item()
+
 
 class TestConvAPI:
     def test_metadata(self, conv_model):

@@ -59,7 +59,8 @@ def main(argv=None):
         from ssl_audio_tpu.hear import vit as mod
 
         model = mod.load_model("", args.model, fetch_dtype=args.fetch_dtype,
-                               fast_mel=args.fast_mel)
+                               fast_mel=args.fast_mel,
+                               compute_dtype=args.compute_dtype)
 
     sr = model.sample_rate
     n = int(args.seconds * sr)
