@@ -398,6 +398,13 @@ class Trainer:
                     )
                 if self.wandb_run is not None:
                     self.wandb_run.log({"Loss": loss_val})
+                    if cfg.masked_recon:
+                        # reference main.py:163-167: the loss split is
+                        # logged only when masked_recon is on
+                        self.wandb_run.log({
+                            "barlow twins loss": float(metrics["bt_loss"]),
+                            "masked recon loss": float(metrics["recon_loss"]),
+                        })
             t_step += time.time() - tflag
             tflag = time.time()
 
