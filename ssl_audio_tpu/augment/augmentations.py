@@ -181,6 +181,11 @@ def log_mixup_exp(xa: jnp.ndarray, xb: jnp.ndarray, alpha: jnp.ndarray) -> jnp.n
     return jnp.log(x + TORCH_EPS)
 
 
+# A/B hook (tools/ benches + tests only): force the modular-row scatter
+# write even when the contiguous dynamic-update-slice applies.
+_FORCE_SCATTER_WRITE = False
+
+
 def mixup_byola(
     key: jax.Array,
     x: jnp.ndarray,            # (B, C, F, T)
@@ -206,8 +211,19 @@ def mixup_byola(
     if update_bank:
         n = state.bank.shape[0]
         # ring-buffer write of the whole batch; requires B <= n
-        rows = (state.pos + jnp.arange(B)) % n
-        bank = state.bank.at[rows].set(x)
+        if n % B == 0 and not _FORCE_SCATTER_WRITE:
+            # pos starts at 0 and advances by B, so with B | n the write
+            # region never wraps: the batch lands as ONE contiguous block.
+            # dynamic_update_slice instead of a B-row scatter — same rows,
+            # same values, but XLA lowers DUS to an in-place block copy
+            # while a traced-index scatter serializes through the scalar
+            # core (measured on the training-step trace, PERF.md r4).
+            bank = jax.lax.dynamic_update_slice(
+                state.bank, x.astype(state.bank.dtype),
+                (state.pos,) + (jnp.zeros((), jnp.int32),) * (x.ndim - 1))
+        else:
+            rows = (state.pos + jnp.arange(B)) % n
+            bank = state.bank.at[rows].set(x)
         state = MixupState(
             bank=bank,
             count=jnp.minimum(state.count + B, n),

@@ -101,6 +101,26 @@ class TestMixup:
         assert float(state.bank[0, 0, 0, 0]) == 2.0
         assert float(state.bank[4, 0, 0, 0]) == 1.0
 
+    def test_dus_write_matches_scatter_fallback(self, rng):
+        """The contiguous dynamic-update-slice write (taken when B | n) must
+        leave the bank byte-identical to the modular-row scatter fallback
+        (taken otherwise) across a wrap of the ring."""
+        xs = [jnp.asarray(rng.standard_normal((4, 1, 2, 3)).astype(np.float32))
+              for _ in range(5)]
+        # B=4 divides n=8 -> DUS branch
+        s_dus = A.init_mixup_state(8, (1, 2, 3))
+        for step, x in enumerate(xs):
+            _, s_dus = A.mixup_byola(jax.random.key(step), x, s_dus)
+        # oracle: replay the modular-row writes by hand
+        bank = np.zeros((8, 1, 2, 3), np.float32)
+        pos = 0
+        for x in xs:
+            rows = (pos + np.arange(4)) % 8
+            bank[rows] = np.asarray(x)
+            pos = (pos + 4) % 8
+        np.testing.assert_array_equal(np.asarray(s_dus.bank), bank)
+        assert int(s_dus.pos) == pos
+
     def test_log_mixup_exp_formula(self, rng):
         xa = rng.standard_normal((3, 4)).astype(np.float32)
         xb = rng.standard_normal((3, 4)).astype(np.float32)
