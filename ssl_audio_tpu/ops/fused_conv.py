@@ -94,28 +94,58 @@ def _interpret() -> bool:
 
 
 def _build_x16(x2: jnp.ndarray) -> jnp.ndarray:
-    """x2 (B, H, W) -> X16 (B, 16, Mq): the 16 unique shifted window views
-    X16[b, slot(qh, qw, oh, ow), (i, j)] = xpad[b, 2(i+oh)+qh, 2(j+ow)+qw].
+    """x2 (B, H, W) -> X16 (B, 16, Mq) in the FLAT-SHIFT layout,
+    Mq = (H/2) * (W/2 + 1):
 
-    One parity de-interleave (4 strided slices over the padded input), then
-    every view is a CONTIGUOUS slice of a parity plane."""
+        X16[b, slot(qh, qw, oh, ow), i*(w2+1)+j] = xpad[b, 2(i+oh)+qh,
+                                                          2(j+ow)+qw]
+
+    Window cells are indexed m = i*(w2+1)+j over the UNCROPPED parity-plane
+    width, so a shift by (oh, ow) is the pure 1-D lane offset oh*(w2+1)+ow
+    of the flattened plane — every view is one contiguous lane slice.  The
+    price is one invalid lane per window row (j = w2, which would read the
+    neighbouring row's first cell); those lanes are ZEROED here, fused into
+    the (bandwidth-bound) build pass, so the kernels stay mask-free: every
+    reduction over x16 is automatically exact, the conv corners evaluate to
+    exactly v = bias there (zero window dot + bias), and the only sums v
+    enters directly (s1/s2 forward, Sx backward) get that closed-form
+    garbage contribution subtracted by the callers.  Callers slice the
+    invalid output column off the (4x smaller) pooled/dy tensors.
+
+    The earlier layout cropped each view to (h2, w2) before flattening —
+    valid-only lanes, but the 16 odd-dim 2-D slices lowered at ~15 GB/s
+    (0.87 ms of the 14.2 ms AudioNTT step, XProf 2026-08-19); the flat
+    shifts are plain lane-contiguous copies (0.26 -> 0.01 ms isolated,
+    tools/bench_fused.py 2026-08-19)."""
     B, H, W = x2.shape
-    xp = jnp.pad(x2, ((0, 0), (1, 1), (1, 1)))
     h2, w2 = H // 2, W // 2
-    # stride-2 slice to the full padded extent: each parity plane gets
-    # h2+1 rows / w2+1 cols (H even => H+2 rows hold h2+1 of each parity)
-    par = [[jax.lax.slice(xp, (0, qh, qw), (B, xp.shape[1], xp.shape[2]),
-                          (1, 2, 2))
-            for qw in range(2)] for qh in range(2)]
+    w2p = w2 + 1
+    mq = h2 * w2p
+    xp = jnp.pad(x2, ((0, 0), (1, 1), (1, 1)))        # (B, 2(h2+1), 2*w2p)
+    # parity de-interleave as ONE transpose: (B, qh*2+qw, (h2+1)*w2p) flat
+    fl = (xp.reshape(B, h2 + 1, 2, w2p, 2)
+          .transpose(0, 2, 4, 1, 3)
+          .reshape(B, 4, (h2 + 1) * w2p))
+    # headroom so off + mq stays in bounds (max off = w2p + 1)
+    fl = jnp.pad(fl, ((0, 0), (0, 0), (0, w2p + 2)))
     rows = [None] * 16
     for qh in range(2):
         for qw in range(2):
+            p_idx = qh * 2 + qw
             for oh in range(2):
                 for ow in range(2):
-                    sl = jax.lax.slice(par[qh][qw], (0, oh, ow),
-                                       (B, oh + h2, ow + w2))
-                    rows[_slot(qh, qw, oh, ow)] = sl.reshape(B, h2 * w2)
-    return jnp.stack(rows, axis=1)                    # (B, 16, Mq)
+                    off = oh * w2p + ow
+                    rows[_slot(qh, qw, oh, ow)] = jax.lax.slice(
+                        fl, (0, p_idx, off), (B, p_idx + 1, off + mq))
+    x16 = jnp.concatenate(rows, axis=1)               # (B, 16, Mq)
+    return x16 * jnp.asarray(_valid_mask(h2, w2), x16.dtype)
+
+
+def _valid_mask(h2: int, w2: int) -> np.ndarray:
+    """(1, Mq) 1.0/0.0 mask of the valid window cells in the flat-shift
+    layout (lane j = w2 of each window row is garbage)."""
+    w2p = w2 + 1
+    return (np.arange(h2 * w2p).reshape(1, -1) % w2p < w2).astype(np.float32)
 
 
 def _fold_w16(wkt: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +184,9 @@ def _extreme(vs, pos):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x16_ref, w16_ref, b_ref, g_ref, sel_ref, s1_ref, s2_ref):
+    """Mask-free: x16's invalid lanes are zeroed at build time, so each
+    corner evaluates to exactly v = bias there; the caller subtracts that
+    closed-form garbage contribution from s1/s2 (see _fwd_impl)."""
     vs = [_corner(x16_ref, w16_ref, b_ref, p) for p in range(4)]
 
     @pl.when(pl.program_id(0) == 0)
@@ -223,7 +256,13 @@ def _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref):
 
 def _bwd_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
                 t_ref, g1_ref, g3_ref, r_ref):
-    """t (C, 3) = [T1, T2, Sx]; g1/g3 (4, C, 16); r (16, 1)."""
+    """t (C, 3) = [T1, T2, Sx]; g1/g3 (4, C, 16); r (16, 1).
+
+    Mask-free under the zeroed-lane build invariant: dz = 0 at the invalid
+    lanes (the caller zero-pads dpt there), x16 = 0 there (so G1/G3/R pick
+    up nothing), and the one sum a nonzero garbage value enters — Sx, where
+    xhat = (bias - mean)*r exactly — gets its closed-form contribution
+    subtracted by _bwd_rule."""
     _vs, xhats, dzs = _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref,
                                   st_ref, dpt_ref)
 
@@ -332,7 +371,7 @@ def _dx_call(x16, w16, b, gamma, beta, mu, r, t1, t2, n, dpt, H, W, C, Mq):
     # scatter dy back through the conv taps: dx[h, w] = sum_s dy_full[
     # h-dh+1, w-dw+1] * W[s], with dy_full rebuilt from the corner views
     h2, w2 = H // 2, W // 2
-    dy4 = dyt.reshape(B, 2, 2, C, h2, w2)             # (B, pi, pj, C, i, j)
+    dy4 = dyt.reshape(B, 2, 2, C, h2, w2 + 1)[..., :w2]   # drop garbage lanes
     dy_full = (dy4.transpose(0, 3, 4, 1, 5, 2)        # (B, C, i, pi, j, pj)
                .reshape(B, C, H, W))
     return dy_full
@@ -363,11 +402,19 @@ def fused_conv1_bn_relu_pool(x, kernel, bias, gamma, beta, eps=1e-5,
 def _fwd_impl(x, kernel, bias, gamma, beta, eps, axis=None):
     B, H, W, _ = x.shape
     C = kernel.shape[-1]
-    Mq = (H // 2) * (W // 2)
+    h2, w2 = H // 2, W // 2
+    Mq = h2 * (w2 + 1)
     x16 = _build_x16(x[..., 0])
     wkt = kernel.reshape(9, C).T
     w16 = _fold_w16(wkt)
     sel, s1, s2 = _fwd_call(x16, w16, bias, gamma, C, Mq)
+    # the B*4*h2 zeroed garbage lanes each contributed exactly v = bias to
+    # the kernel's sums (zero window dot + bias); subtract the closed form
+    # BEFORE any cross-shard psum (each shard corrects its own lanes)
+    n_g = B * 4 * h2
+    b32 = bias.astype(jnp.float32)
+    s1 = s1 - n_g * b32
+    s2 = s2 - n_g * b32 * b32
     n = B * H * W
     if axis is not None:
         # cross-shard moment reduction: the only cross-sample quantity in
@@ -382,7 +429,7 @@ def _fwd_impl(x, kernel, bias, gamma, beta, eps, axis=None):
     z_sel = (g32[:, None] * (sel.astype(jnp.float32) - mean[:, None])
              * r[:, None] + beta.astype(jnp.float32)[:, None])
     pooled = (jnp.maximum(z_sel, 0.0)
-              .reshape(B, C, H // 2, W // 2)
+              .reshape(B, C, h2, w2 + 1)[..., :w2]
               .transpose(0, 2, 3, 1)
               .astype(x.dtype))
     res = (x16, w16, wkt, bias, gamma, beta, mean, r)
@@ -405,7 +452,8 @@ def fused_conv1_bn_relu_pool_eval(x, kernel, bias, gamma, beta, mean, var,
     x (B, H, W, 1) -> (B, H/2, W/2, C); H, W even; kernel (3, 3, 1, C)."""
     B, H, W, _ = x.shape
     C = kernel.shape[-1]
-    Mq = (H // 2) * (W // 2)
+    h2, w2 = H // 2, W // 2
+    Mq = h2 * (w2 + 1)
     x16 = _build_x16(x[..., 0])
     w16 = _fold_w16(kernel.reshape(9, C).T)
     sel, _s1, _s2 = _fwd_call(x16, w16, bias, gamma, C, Mq)
@@ -414,7 +462,7 @@ def fused_conv1_bn_relu_pool_eval(x, kernel, bias, gamma, beta, mean, var,
     z = (g32[:, None] * (sel.astype(jnp.float32) - mean.astype(jnp.float32)[:, None])
          * r[:, None] + beta.astype(jnp.float32)[:, None])
     return (jnp.maximum(z, 0.0)
-            .reshape(B, C, H // 2, W // 2)
+            .reshape(B, C, h2, w2 + 1)[..., :w2]
             .transpose(0, 2, 3, 1)
             .astype(x.dtype))
 
@@ -430,11 +478,17 @@ def _bwd_rule(eps, axis, res, cotangents):
     xdt = x16.dtype
     H2, W2, C = dpooled.shape[1:]
     H, W = 2 * H2, 2 * W2
-    Mq = H2 * W2
+    Mq = H2 * (W2 + 1)
     n = B * H * W
-    dpt = dpooled.transpose(0, 3, 1, 2).reshape(B, C, Mq)
+    # zero-pad the garbage lane of each window row so dz vanishes there
+    dpt = jnp.pad(dpooled.transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (0, 0), (0, 1))).reshape(B, C, Mq)
     t, a1, a3, a2 = _bwd_call(x16, w16, bias, gamma, beta, mean, r, dpt,
                               C, Mq)
+    # Sx picked up xhat = (bias - mean)*r at each of the B*4*H2 zeroed
+    # garbage lanes (v = bias there); subtract the closed form per shard
+    t = t.at[:, 2].add(-(B * 4 * H2)
+                       * (bias.astype(jnp.float32) - mean) * r)
     tg = t
     if axis is not None:
         # Only the T1/T2/Sx sums need to be GLOBAL here: they feed the BN

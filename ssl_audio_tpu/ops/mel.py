@@ -313,20 +313,37 @@ def log_mel_spectrogram_cropped(
     crop-before-transform even when XLA cannot hoist the crop itself (e.g.
     through a gradient graph).
 
-    Stage 1: reflect-pad once (torch.stft centering), then slice ONE
-    contiguous (out_frames-1)*hop + n_fft sample segment per clip (vmapped
-    dynamic_slice — a B-row gather of contiguous lanes).  Stage 2: static
-    framing WITHIN the segment.  The earlier design framed the full signal
-    first ((B, T, n_fft) — a 6.4x HBM blow-up, measured 17.7 ms at B=256)
-    and row-gathered; this one materializes only the cropped frames
-    (measured 4x faster; a direct data-dependent element gather is ~100x
-    slower than either)."""
+    Stage 1: reflect-pad once (torch.stft centering), then gather ONE
+    contiguous (out_frames-1)*hop + n_fft sample segment per clip.  Because
+    every crop start is hop-aligned in sample space, the padded signal is
+    viewed as (B, n_blocks, hop) and the segment is a take_along_axis row
+    gather of ceil(seg_len/hop) hop-sized blocks — XLA lowers it as one
+    batched row gather of contiguous lanes (~680 GB/s measured).  The
+    per-row vmapped dynamic_slice this replaces lowered to a sequential
+    batch loop of slice + update-slice at 65-99 GB/s (0.79 ms of the 14.2 ms
+    AudioNTT step, XProf 2026-08-19).  Stage 2: static framing WITHIN the
+    segment.  The earlier designs: framing the full signal first
+    ((B, T, n_fft) — a 6.4x HBM blow-up) measured 17.7 ms at B=256, and a
+    direct data-dependent element gather is ~100x slower than either."""
     pad = spec.n_fft // 2
-    x = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
     seg_len = (out_frames - 1) * spec.hop_length + spec.n_fft
-    seg = jax.vmap(
-        lambda w, s: jax.lax.dynamic_slice(w, (s * spec.hop_length,), (seg_len,))
-    )(x, starts.astype(jnp.int32))                              # (B, seg_len)
+    hop = spec.hop_length
+    n_blocks = -(-seg_len // hop)
+    # ONE pad pass covers both the stft centering and the block-window
+    # overshoot: valid starts end their raw segment at <= L = T + 2*pad, so
+    # every sample a rounded-up block window reads past L lands in the tail
+    # the [..., :seg_len] slice below drops — only ADDRESSABILITY matters
+    # there, not content, and extending the right reflect pad is free while
+    # a second zero-pad op was a full 164 MB read+write pass (0.64 ms of
+    # the B=256 AudioNTT step, XProf 2026-08-19).
+    L = wav.shape[-1] + 2 * pad
+    Lp = (L // hop + 2) * hop
+    x = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad + Lp - L)],
+                mode="reflect")
+    xb = x.reshape(x.shape[:-1] + (Lp // hop, hop))
+    bidx = starts.astype(jnp.int32)[:, None] + np.arange(n_blocks)[None, :]
+    seg = jnp.take_along_axis(xb, bidx[..., None], axis=-2)
+    seg = seg.reshape(x.shape[:-1] + (n_blocks * hop,))[..., :seg_len]
     p = _prec(fast)
     frame_starts = np.arange(out_frames) * spec.hop_length
     folded = spec.dft_matrices_mel_folded

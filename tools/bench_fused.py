@@ -80,12 +80,14 @@ def main(argv=None):
     be = jnp.asarray(0.1 * rng.standard_normal(C), dt)
     dp = jnp.asarray(rng.standard_normal((B, H // 2, W // 2, C)), dt)
 
-    Mq = (H // 2) * (W // 2)
+    h2, w2 = H // 2, W // 2
+    Mq = h2 * (w2 + 1)                        # flat-shift layout (+1 garbage lane/row)
     x9q = fc._build_x16(x[..., 0])
     wkt = fc._fold_w16(k.reshape(9, C).T)
     (pooled, mean, var), res = fc._fwd_impl(x, k, b, g, be, 1e-5)
     r = jax.lax.rsqrt(var + 1e-5)
-    dpt = dp.transpose(0, 3, 1, 2).reshape(B, C, Mq)
+    dpt = jnp.pad(dp.transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (0, 0), (0, 1))).reshape(B, C, Mq)
     print(f"NB={fc.NB} dtype={args.dtype} B={B}")
 
     def run(name, fn, a):
