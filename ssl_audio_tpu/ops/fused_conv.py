@@ -255,14 +255,21 @@ def _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref):
 
 
 def _bwd_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
-                t_ref, g1_ref, g3_ref, r_ref):
-    """t (C, 3) = [T1, T2, Sx]; g1/g3 (4, C, 16); r (16, 1).
+                t_ref, g1_ref, gram_ref, r_ref):
+    """t (C, 3) = [T1, T2, Sx]; g1 (4, C, 16); gram (16, 16); r (16, 1).
 
     Mask-free under the zeroed-lane build invariant: dz = 0 at the invalid
-    lanes (the caller zero-pads dpt there), x16 = 0 there (so G1/G3/R pick
-    up nothing), and the one sum a nonzero garbage value enters — Sx, where
-    xhat = (bias - mean)*r exactly — gets its closed-form contribution
-    subtracted by _bwd_rule."""
+    lanes (the caller zero-pads dpt there), x16 = 0 there (so G1/Gram/R
+    pick up nothing), and the one sum a nonzero garbage value enters — Sx,
+    where xhat = (bias - mean)*r exactly — gets its closed-form
+    contribution subtracted by _bwd_rule.
+
+    The xhat contractions (previously four per-corner (C, Mq) x (Mq, 16)
+    G3 dots) factor through the window-slot Gram matrix:
+    G3[p] = r * (W16[p]·G + (bias - mu)·Rᵀ) with G = x16·x16ᵀ, since
+    xhat_p = r*(W16[p]·x16 + bias - mu) — so the kernel emits ONE
+    (16, Mq) x (Mq, 16) Gram dot and _bwd_call reconstructs G3 in
+    (C, 16)-sized math outside."""
     _vs, xhats, dzs = _corners_dz(x16_ref, w16_ref, b_ref, g_ref, be_ref,
                                   st_ref, dpt_ref)
 
@@ -270,7 +277,7 @@ def _bwd_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
     def _():
         t_ref[:] = jnp.zeros_like(t_ref)
         g1_ref[:] = jnp.zeros_like(g1_ref)
-        g3_ref[:] = jnp.zeros_like(g3_ref)
+        gram_ref[:] = jnp.zeros_like(gram_ref)
         r_ref[:] = jnp.zeros_like(r_ref)
 
     x16 = x16_ref[0].astype(jnp.float32)               # (16, Mq)
@@ -281,11 +288,11 @@ def _bwd_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
     for p in range(4):
         g1_ref[p] += jax.lax.dot_general(
             dzs[p], x16, dims, preferred_element_type=jnp.float32)
-        g3_ref[p] += jax.lax.dot_general(
-            xhats[p], x16, dims, preferred_element_type=jnp.float32)
         t1 += jnp.sum(dzs[p], axis=1, keepdims=True)
         t2 += jnp.sum(dzs[p] * xhats[p], axis=1, keepdims=True)
         sx += jnp.sum(xhats[p], axis=1, keepdims=True)
+    gram_ref[:] += jax.lax.dot_general(
+        x16, x16, dims, preferred_element_type=jnp.float32)
     t_ref[:] += jnp.concatenate([t1, t2, sx], axis=1)
     r_ref[:] += jnp.sum(x16, axis=1, keepdims=True)
 
@@ -293,7 +300,7 @@ def _bwd_kernel(x16_ref, w16_ref, b_ref, g_ref, be_ref, st_ref, dpt_ref,
 def _bwd_call(x16, w16, b, gamma, beta, mu, r, dpt, C, Mq):
     B = x16.shape[0]
     stats = jnp.stack([mu, r], axis=1).astype(jnp.float32)   # (C, 2)
-    t, g1, g3, rsum = pl.pallas_call(
+    t, g1, gram, rsum = pl.pallas_call(
         _bwd_kernel,
         grid=(B // NB,),
         in_specs=[
@@ -308,13 +315,13 @@ def _bwd_call(x16, w16, b, gamma, beta, mu, r, dpt, C, Mq):
         out_specs=[
             pl.BlockSpec((C, 3), lambda i: (0, 0)),
             pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
-            pl.BlockSpec((4, C, 16), lambda i: (0, 0, 0)),
+            pl.BlockSpec((16, 16), lambda i: (0, 0)),
             pl.BlockSpec((16, 1), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, 3), jnp.float32),
             jax.ShapeDtypeStruct((4, C, 16), jnp.float32),
-            jax.ShapeDtypeStruct((4, C, 16), jnp.float32),
+            jax.ShapeDtypeStruct((16, 16), jnp.float32),
             jax.ShapeDtypeStruct((16, 1), jnp.float32),
         ],
         interpret=_interpret(),
@@ -323,7 +330,13 @@ def _bwd_call(x16, w16, b, gamma, beta, mu, r, dpt, C, Mq):
     # assemble the per-tap sums from the 16-slot contractions (static
     # gathers of tiny arrays — negligible XLA work)
     a1 = sum(g1[p][:, U_MAP[p]] for p in range(4))     # (C, 9)
-    a3 = sum(g3[p][:, U_MAP[p]] for p in range(4))
+    # G3[p] reconstructed from the Gram factorization (see _bwd_kernel)
+    w16f = w16.astype(jnp.float32)
+    bm = (b.astype(jnp.float32) - mu)[:, None] * rsum[:, 0][None, :]
+    a3 = r[:, None] * sum(
+        (jnp.dot(w16f[p], gram, precision=jax.lax.Precision.HIGHEST)
+         + bm)[:, U_MAP[p]]
+        for p in range(4))                             # (C, 9)
     a2 = sum(rsum[U_MAP[p], 0] for p in range(4))      # (9,)
     return t, a1, a3, a2
 

@@ -1,0 +1,132 @@
+"""Bare-GEMM shape probe: time isolated matmuls at the exact shapes the
+ViT-B B=128 token-drop training trace pins at 76-101 TF/s, to adjudicate
+whether the gap to the 175.5 TF/s dense ceiling is (a) the GEMM shape
+itself (XLA/MXU tiling of the M=2688 activations) or (b) the epilogue
+fusions XLA attaches (bias+GELU+residual+LayerNorm backward etc.).
+
+Each shape is timed three ways with the slope method (see tools/mfu.py):
+  bare      out = A @ B
+  epilogue  out = gelu(A @ B + bias)      (the training fc1 fusion)
+  chain     fc2(gelu(fc1(x)))             (one whole MLP, fwd only)
+
+    python tools/gemm_probe.py [--dtype bf16] [--n 50]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def slope(fn, args, n, reps=3):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make(k):
+        @jax.jit
+        def run(key, *a):
+            def body(c, i):
+                return c + fn(jax.random.fold_in(key, i), *a), 0.0
+
+            total, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+            return total
+
+        return run
+
+    f1, f2 = make(n), make(2 * n)
+    float(f1(jax.random.key(0), *args))
+    float(f2(jax.random.key(0), *args))
+
+    def t(f):
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.time()
+            float(f(jax.random.key(rep + 1), *args))
+            best = min(best, time.time() - t0)
+        return best
+
+    return (t(f2) - t(f1)) / n
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=50)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--M", type=int, default=2688)
+    p.add_argument("--out", default="gemm_probe.json")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    rng = np.random.default_rng(0)
+    M = args.M
+    results = {}
+
+    def probe(name, make_fn, flops, arrs):
+        ms = slope(make_fn, arrs, args.n) * 1e3
+        tf = flops / (ms * 1e-3) / 1e12
+        results[name] = {"ms": round(ms, 4), "tflops": round(tf, 1)}
+        print(f"{name:>28s}: {ms:8.4f} ms  {tf:7.1f} TF/s")
+
+    def mk(*shapes):
+        return tuple(jnp.asarray(rng.standard_normal(s) * 0.05, dt)
+                     for s in shapes)
+
+    # fc1: (M, 768) x (768, 3072)
+    a, w1, b1, w2 = mk((M, 768), (768, 3072), (3072,), (3072, 768))
+
+    def bare(key, a, w1):
+        aa = a + jax.random.uniform(key, (1,), a.dtype)
+        return jnp.dot(aa, w1).astype(jnp.float32).sum()
+
+    probe("fc1 bare", bare, 2 * M * 768 * 3072, (a, w1))
+
+    def epi(key, a, w1, b1):
+        aa = a + jax.random.uniform(key, (1,), a.dtype)
+        return jax.nn.gelu(jnp.dot(aa, w1) + b1).astype(jnp.float32).sum()
+
+    probe("fc1 + bias+gelu", epi, 2 * M * 768 * 3072, (a, w1, b1))
+
+    def chain(key, a, w1, b1, w2):
+        aa = a + jax.random.uniform(key, (1,), a.dtype)
+        h = jax.nn.gelu(jnp.dot(aa, w1) + b1)
+        return jnp.dot(h, w2).astype(jnp.float32).sum()
+
+    probe("mlp chain fwd", chain, 2 * M * 768 * 3072 * 2, (a, w1, b1, w2))
+
+    # fc2: (M, 3072) x (3072, 768)
+    h, = mk((M, 3072))
+    probe("fc2 bare", bare, 2 * M * 3072 * 768, (h, w2))
+
+    # dW shape: (768, M) x (M, 3072) — the backward weight-grad contraction
+    at, g = mk((768, M), (M, 3072))
+
+    def dw(key, at, g):
+        aa = at + jax.random.uniform(key, (1,), at.dtype)
+        return jax.lax.dot_general(
+            aa, g, (((1,), (0,)), ((), ()))).astype(jnp.float32).sum()
+
+    probe("dW (768,M)x(M,3072)", dw, 2 * M * 768 * 3072, (at, g))
+
+    # attention-ish: (128*25, 768) x (768, 768)
+    q, wq = mk((M, 768), (768, 768))
+    probe("proj bare (M,768)x(768,768)", bare, 2 * M * 768 * 768, (q, wq))
+
+    # reference ceiling shape
+    big, wbig = mk((8192, 8192), (8192, 8192))
+    probe("ceiling 8192^3", bare, 2 * 8192 ** 3, (big, wbig))
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

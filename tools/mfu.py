@@ -96,21 +96,27 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     cost = one.lower(state, batch, jax.random.key(1)).compile().cost_analysis() or {}
     flops_per_step = float(cost.get("flops", -1.0))
 
-    def time_scan(n):
-        f = make_scanned(n)
+    # compile both scan lengths up front, then INTERLEAVE the timed reps
+    # (n, 2n, n, 2n, ...) so chip/tunnel throughput drift between the two
+    # phases — minutes of compile apart in the old sequential order — hits
+    # both arms of the slope equally (2026-08-19: sequential-phase runs of
+    # identical code spread 10.5–15.5 ms/step under a congested tunnel).
+    fns = {}
+    warms = {}
+    for n in (n_steps, 2 * n_steps):
+        fns[n] = make_scanned(n)
         t0 = time.time()
-        a = float(f(state, batch, jax.random.key(1)))
-        warmup = time.time() - t0
-        best = float("inf")
-        for rep in range(reps):
+        first = float(fns[n](state, batch, jax.random.key(1)))
+        warms[n] = time.time() - t0
+        del first
+    best = {n_steps: float("inf"), 2 * n_steps: float("inf")}
+    for rep in range(reps):
+        for n in (n_steps, 2 * n_steps):
             t0 = time.time()
-            b = float(f(state, batch, jax.random.key(rep + 2)))
-            best = min(best, time.time() - t0)
-            assert b != a
-        return best, warmup
-
-    t_n, warm1 = time_scan(n_steps)
-    t_2n, warm2 = time_scan(2 * n_steps)
+            float(fns[n](state, batch, jax.random.key(rep + 2)))
+            best[n] = min(best[n], time.time() - t0)
+    t_n, warm1 = best[n_steps], warms[n_steps]
+    t_2n, warm2 = best[2 * n_steps], warms[2 * n_steps]
     per_step = (t_2n - t_n) / n_steps          # overhead-free slope
     call_overhead = t_n - n_steps * per_step   # fixed dispatch+fetch cost
     return {
@@ -133,6 +139,7 @@ def main(argv=None):
     p.add_argument("--models", nargs="+", default=["vit_base", "audiontt"])
     p.add_argument("--batches", nargs="+", type=int, default=[128])
     p.add_argument("--n_steps", type=int, default=10)
+    p.add_argument("--reps", type=int, default=3)
     p.add_argument("--use_fp16", action="store_true", default=False)
     p.add_argument("--token_drop", action="store_true", default=False)
     p.add_argument("--wav", action="store_true", default=False)
@@ -158,7 +165,8 @@ def main(argv=None):
     rows = []
     for model in args.models:
         for b in args.batches:
-            r = measure(model, b, n_steps=args.n_steps, use_fp16=args.use_fp16,
+            r = measure(model, b, n_steps=args.n_steps, reps=args.reps,
+                        use_fp16=args.use_fp16,
                         token_drop=args.token_drop, wav=args.wav,
                         fused_conv=args.fused_conv, fast_mel=args.fast_mel,
                         pool_reorder=args.pool_reorder,
