@@ -136,6 +136,14 @@ class Config:
     # 'data' mesh via shard_map; parity-tested in
     # tests/test_fused_attention.py).
     fused_attention: bool | None = None
+    # Materialize attention-layout transposes (qkv unpack, attn-out
+    # (B,H,N,hd)->(B,N,C)) as standalone copies instead of letting XLA fold
+    # them into consumer GEMM operand reads: a fold-in drops the
+    # (2688,768)x(768,*) encoder GEMMs from ~129 to ~72 TF/s while copy +
+    # clean GEMM runs at ~107 (tools/gemm_probe.py, 2026-08-20).  None =
+    # auto: measured per-device-kind default (see resolve in
+    # models/wrapper.py).  --layout_barrier / --no_layout_barrier force it.
+    layout_barrier: bool | None = None
     # Wav-domain training frontend DFT/mel matmul precision: True runs the
     # three GEMMs at lax.Precision.HIGH (bf16x3, ~2e-4 rel log-mel error —
     # the same mode the HEAR fast_mel path ships) instead of HIGHEST.
@@ -287,6 +295,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--fused_attention", action="store_true", default=None)
     p.add_argument("--no_fused_attention", dest="fused_attention",
+                   action="store_false")
+    p.add_argument("--layout_barrier", action="store_true", default=None)
+    p.add_argument("--no_layout_barrier", dest="layout_barrier",
                    action="store_false")
     p.add_argument("--fast_mel", action="store_true", default=False)
     p.add_argument("--use_learned_pos_embd", action="store_true", default=False)

@@ -124,6 +124,12 @@ class AttentionKBiasZero(nn.Module):
     qkv_bias: bool = True
     fused: bool = False
     fused_mesh: Optional[object] = None
+    # Materialize the attention-layout transposes as standalone copies
+    # instead of letting XLA fold them into consumer GEMM operand reads:
+    # the (B,H,N,hd)->(B,N,C) relayout folded into a (2688,768)x(768,*) GEMM
+    # drops it from ~129 to ~72 TF/s, while a materialized copy + clean GEMM
+    # runs at ~107 (tools/gemm_probe.py, gemm_probe_fold.json, 2026-08-20).
+    layout_barrier: bool = False
 
     @nn.compact
     def __call__(
@@ -151,6 +157,8 @@ class AttentionKBiasZero(nn.Module):
                 out = fused_attention(qkv, bias2, H)
         else:
             qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+            if self.layout_barrier:
+                qkv = jax.lax.optimization_barrier(qkv)
             q, k, v = qkv[0], qkv[1], qkv[2]                  # (B, H, N, hd)
             # softmax in f32 regardless of activation dtype (torch AMP
             # semantics; the fused kernel does the same) — a no-op cast on
@@ -162,6 +170,8 @@ class AttentionKBiasZero(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            if self.layout_barrier:
+                out = jax.lax.optimization_barrier(out)
         out = nn.Dense(C, kernel_init=xavier_uniform, name="proj")(out)
         if return_attention:
             return out, attn
@@ -202,6 +212,7 @@ class Block(nn.Module):
     ln_eps: float = 1e-6
     fused_attention: bool = False
     fused_attn_mesh: Optional[object] = None
+    layout_barrier: bool = False
 
     @nn.compact
     def __call__(
@@ -213,7 +224,8 @@ class Block(nn.Module):
     ):
         attn_mod = AttentionKBiasZero(
             self.dim, self.num_heads, name="attn",
-            fused=self.fused_attention, fused_mesh=self.fused_attn_mesh)
+            fused=self.fused_attention, fused_mesh=self.fused_attn_mesh,
+            layout_barrier=self.layout_barrier)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         if return_attention:
             _, attn = attn_mod(h, key_bias, return_attention=True)
@@ -271,6 +283,9 @@ class ViTSpec:
     # AttentionKBiasZero.  Applied to encoder AND decoder blocks; shapes
     # outside the kernel envelope fall back to the einsum path per-block.
     fused_attention: bool = False
+    # Barrier attention-layout transposes out of consumer GEMMs (see
+    # AttentionKBiasZero.layout_barrier).
+    layout_barrier: bool = False
 
 
 class MaskedAutoencoderViT(nn.Module):
@@ -347,6 +362,7 @@ class MaskedAutoencoderViT(nn.Module):
                 drop_path=float(np.linspace(0, s.drop_path_rate, s.depth)[i]),
                 fused_attention=s.fused_attention,
                 fused_attn_mesh=self.fused_attn_mesh,
+                layout_barrier=s.layout_barrier,
                 name=f"block{i}",
             )
             for i in range(s.depth)
@@ -366,6 +382,7 @@ class MaskedAutoencoderViT(nn.Module):
                 Block(s.decoder_embed_dim, s.decoder_num_heads, s.mlp_ratio,
                       fused_attention=s.fused_attention,
                       fused_attn_mesh=self.fused_attn_mesh,
+                      layout_barrier=s.layout_barrier,
                       name=f"decoder_block{i}")
                 for i in range(s.decoder_depth)
             ]

@@ -75,6 +75,13 @@ def build_encoder(cfg, mesh=None) -> Tuple[nn.Module, int]:
             and mesh.shape["data"] > 1
             and cfg.batch_size % mesh.shape["data"] == 0
         )
+        lb = getattr(cfg, "layout_barrier", None)
+        if lb is None:
+            # auto: OFF pending the full-step A/B (the isolated fold probe
+            # shows folded transposes cost ~45% of GEMM throughput —
+            # tools/gemm_probe.py — but the full-graph verdict decides the
+            # default; see PERF.md "Layout barriers (r4)")
+            lb = False
         fa = getattr(cfg, "fused_attention", None)
         if fa is None:
             # auto: OFF — the Pallas kernel measured NEUTRAL-to-negative on
@@ -92,6 +99,7 @@ def build_encoder(cfg, mesh=None) -> Tuple[nn.Module, int]:
                 img_size=(32, 32), in_chans=3, remat=remat,
                 fused_attention=bool(fa),
                 fused_attn_mesh=mesh if (bool(fa) and fa_shardable) else None,
+                layout_barrier=bool(lb),
             )
         else:
             enc = vit.get_mae_vit(
@@ -101,6 +109,7 @@ def build_encoder(cfg, mesh=None) -> Tuple[nn.Module, int]:
                 use_decoder=cfg.masked_recon, remat=remat,
                 fused_attention=bool(fa),
                 fused_attn_mesh=mesh if (bool(fa) and fa_shardable) else None,
+                layout_barrier=bool(lb),
             )
     else:
         raise NotImplementedError(f"Model type {mt} is not supported")

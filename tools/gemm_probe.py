@@ -59,6 +59,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--M", type=int, default=2688)
     p.add_argument("--out", default="gemm_probe.json")
+    p.add_argument("--only", default=None,
+                   help="substring filter on probe names (skip the rest)")
     args = p.parse_args(argv)
 
     import jax
@@ -71,6 +73,8 @@ def main(argv=None):
     results = {}
 
     def probe(name, make_fn, flops, arrs):
+        if args.only is not None and args.only not in name:
+            return
         ms = slope(make_fn, arrs, args.n) * 1e3
         tf = flops / (ms * 1e-3) / 1e12
         results[name] = {"ms": round(ms, 4), "tflops": round(tf, 1)}
@@ -85,20 +89,26 @@ def main(argv=None):
 
     def bare(key, a, w1):
         aa = a + jax.random.uniform(key, (1,), a.dtype)
-        return jnp.dot(aa, w1).astype(jnp.float32).sum()
+        out = jnp.dot(aa, w1).astype(jnp.float32)
+        # square before the checksum reduce: XLA strength-reduces sum(A@B)
+        # to (rowsum A)@(colsum B) without computing the GEMM (measured
+        # 417-556 "TF/s" > the 197 peak on the first probe run)
+        return (out * out).sum()
 
     probe("fc1 bare", bare, 2 * M * 768 * 3072, (a, w1))
 
     def epi(key, a, w1, b1):
         aa = a + jax.random.uniform(key, (1,), a.dtype)
-        return jax.nn.gelu(jnp.dot(aa, w1) + b1).astype(jnp.float32).sum()
+        out = jax.nn.gelu(jnp.dot(aa, w1) + b1).astype(jnp.float32)
+        return (out * out).sum()
 
     probe("fc1 + bias+gelu", epi, 2 * M * 768 * 3072, (a, w1, b1))
 
     def chain(key, a, w1, b1, w2):
         aa = a + jax.random.uniform(key, (1,), a.dtype)
         h = jax.nn.gelu(jnp.dot(aa, w1) + b1)
-        return jnp.dot(h, w2).astype(jnp.float32).sum()
+        out = jnp.dot(h, w2).astype(jnp.float32)
+        return (out * out).sum()
 
     probe("mlp chain fwd", chain, 2 * M * 768 * 3072 * 2, (a, w1, b1, w2))
 
@@ -111,14 +121,98 @@ def main(argv=None):
 
     def dw(key, at, g):
         aa = at + jax.random.uniform(key, (1,), at.dtype)
-        return jax.lax.dot_general(
-            aa, g, (((1,), (0,)), ((), ()))).astype(jnp.float32).sum()
+        out = jax.lax.dot_general(
+            aa, g, (((1,), (0,)), ((), ()))).astype(jnp.float32)
+        return (out * out).sum()
 
     probe("dW (768,M)x(M,3072)", dw, 2 * M * 768 * 3072, (at, g))
 
     # attention-ish: (128*25, 768) x (768, 768)
     q, wq = mk((M, 768), (768, 768))
     probe("proj bare (M,768)x(768,768)", bare, 2 * M * 768 * 768, (q, wq))
+
+    # training-like: full MLP fwd + weight grads (5 GEMM-equivalents:
+    # fc1/fc2 fwd, dh, dw2, dw1), residual-style f32 loss
+    def mlpgrad(key, a, w1, b1, w2):
+        aa = a + jax.random.uniform(key, (1,), a.dtype)
+
+        def f(w1, b1, w2):
+            h = jax.nn.gelu(jnp.dot(aa, w1) + b1)
+            out = jnp.dot(h, w2).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f, argnums=(0, 1, 2))(w1, b1, w2)
+        return l + sum((x.astype(jnp.float32) ** 2).sum() for x in gs)
+
+    probe("mlp fwd+wgrads (5 GEMMs)", mlpgrad, 5 * 2 * M * 768 * 3072,
+          (a, w1, b1, w2))
+
+    # the same MLP with a LayerNorm-ed, transpose-folded input: x arrives as
+    # (B, H, N, Dh) attention output, relayout folded into the first GEMM —
+    # the in-graph operand shape the training trace's 76-80 TF/s ops see
+    B4, H4, N4, Dh = M // 21, 12, 21, 64
+    x4, = mk((B4, H4, N4, Dh))
+    ln_w, ln_b = mk((768,), (768,))
+
+    def foldedln(key, x4, ln_w, ln_b, w1, b1):
+        xx = x4 + jax.random.uniform(key, (1,), x4.dtype)
+        xt = xx.transpose(0, 2, 1, 3).reshape(M, 768)
+        mu = xt.mean(-1, keepdims=True)
+        var = ((xt - mu) ** 2).mean(-1, keepdims=True)
+        xn = ((xt - mu) * jax.lax.rsqrt(var + 1e-6) * ln_w + ln_b).astype(
+            x4.dtype)
+        out = jax.nn.gelu(jnp.dot(xn, w1) + b1).astype(jnp.float32)
+        return (out * out).sum()
+
+    probe("fc1 + folded transpose+LN", foldedln, 2 * M * 768 * 3072,
+          (x4, ln_w, ln_b, w1, b1))
+
+    # same LN epilogue but on an already-(M, 768) operand: isolates the
+    # LN-fold cost from the transpose-fold cost
+    def lnonly(key, a, ln_w, ln_b, w1, b1):
+        xt = a + jax.random.uniform(key, (1,), a.dtype)
+        mu = xt.mean(-1, keepdims=True)
+        var = ((xt - mu) ** 2).mean(-1, keepdims=True)
+        xn = ((xt - mu) * jax.lax.rsqrt(var + 1e-6) * ln_w + ln_b).astype(
+            a.dtype)
+        out = jax.nn.gelu(jnp.dot(xn, w1) + b1).astype(jnp.float32)
+        return (out * out).sum()
+
+    probe("fc1 + folded LN (flat x)", lnonly, 2 * M * 768 * 3072,
+          (a, ln_w, ln_b, w1, b1))
+
+    # barrier between the transpose+LN producer and the GEMM: forces XLA to
+    # materialize the normalized operand instead of folding the relayout
+    # into the GEMM's operand read
+    def barrierln(key, x4, ln_w, ln_b, w1, b1):
+        xx = x4 + jax.random.uniform(key, (1,), x4.dtype)
+        xt = xx.transpose(0, 2, 1, 3).reshape(M, 768)
+        mu = xt.mean(-1, keepdims=True)
+        var = ((xt - mu) ** 2).mean(-1, keepdims=True)
+        xn = ((xt - mu) * jax.lax.rsqrt(var + 1e-6) * ln_w + ln_b).astype(
+            x4.dtype)
+        xn = jax.lax.optimization_barrier(xn)
+        out = jax.nn.gelu(jnp.dot(xn, w1) + b1).astype(jnp.float32)
+        return (out * out).sum()
+
+    probe("fc1 + barrier(transp+LN)", barrierln, 2 * M * 768 * 3072,
+          (x4, ln_w, ln_b, w1, b1))
+
+    # barrier right after the relayout, LN left foldable into the GEMM:
+    # the candidate production placement (attention out-proj input)
+    def barriert(key, x4, ln_w, ln_b, w1, b1):
+        xx = x4 + jax.random.uniform(key, (1,), x4.dtype)
+        xt = xx.transpose(0, 2, 1, 3).reshape(M, 768)
+        xt = jax.lax.optimization_barrier(xt)
+        mu = xt.mean(-1, keepdims=True)
+        var = ((xt - mu) ** 2).mean(-1, keepdims=True)
+        xn = ((xt - mu) * jax.lax.rsqrt(var + 1e-6) * ln_w + ln_b).astype(
+            x4.dtype)
+        out = jax.nn.gelu(jnp.dot(xn, w1) + b1).astype(jnp.float32)
+        return (out * out).sum()
+
+    probe("fc1 + barrier(transp)+LN", barriert, 2 * M * 768 * 3072,
+          (x4, ln_w, ln_b, w1, b1))
 
     # reference ceiling shape
     big, wbig = mk((8192, 8192), (8192, 8192))

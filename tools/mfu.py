@@ -28,11 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PEAK_TFLOPS = {"tpu": 197.0, "cpu": 1.0}  # v5e: 197 TF bf16
 
 
-def measure(model_type: str, batch_size: int, n_steps: int = 10,
-            use_fp16: bool = False, reps: int = 3, token_drop: bool = False,
-            wav: bool = False, fused_conv: bool = False,
-            fast_mel: bool = False, pool_reorder=None,
-            fused_attention=None, patch_size=(16, 16)):
+def _setup(model_type: str, batch_size: int, n_steps: int = 10,
+           use_fp16: bool = False, token_drop: bool = False,
+           wav: bool = False, fused_conv: bool = False,
+           fast_mel: bool = False, pool_reorder=None,
+           fused_attention=None, layout_barrier=None,
+           patch_size=(16, 16)):
+    """Build the scanned step fns for one config: returns
+    (fns {n: jitted}, call_args, flops_per_step)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,6 +50,7 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
         random_mask_ratio=False, mask_ratio=0.3 if "vit" in model_type else 0.0,
         use_fp16=use_fp16, fused_conv=fused_conv, fast_mel=fast_mel,
         pool_reorder=pool_reorder, fused_attention=fused_attention,
+        layout_barrier=layout_barrier,
         patch_size=list(patch_size),
     )
     mods, state = init_train_state(cfg, jax.random.key(0), niter_per_ep=100)
@@ -96,42 +100,86 @@ def measure(model_type: str, batch_size: int, n_steps: int = 10,
     cost = one.lower(state, batch, jax.random.key(1)).compile().cost_analysis() or {}
     flops_per_step = float(cost.get("flops", -1.0))
 
-    # compile both scan lengths up front, then INTERLEAVE the timed reps
-    # (n, 2n, n, 2n, ...) so chip/tunnel throughput drift between the two
-    # phases — minutes of compile apart in the old sequential order — hits
-    # both arms of the slope equally (2026-08-19: sequential-phase runs of
-    # identical code spread 10.5–15.5 ms/step under a congested tunnel).
-    fns = {}
-    warms = {}
-    for n in (n_steps, 2 * n_steps):
-        fns[n] = make_scanned(n)
-        t0 = time.time()
-        first = float(fns[n](state, batch, jax.random.key(1)))
-        warms[n] = time.time() - t0
-        del first
-    best = {n_steps: float("inf"), 2 * n_steps: float("inf")}
-    for rep in range(reps):
-        for n in (n_steps, 2 * n_steps):
-            t0 = time.time()
-            float(fns[n](state, batch, jax.random.key(rep + 2)))
-            best[n] = min(best[n], time.time() - t0)
-    t_n, warm1 = best[n_steps], warms[n_steps]
-    t_2n, warm2 = best[2 * n_steps], warms[2 * n_steps]
-    per_step = (t_2n - t_n) / n_steps          # overhead-free slope
-    call_overhead = t_n - n_steps * per_step   # fixed dispatch+fetch cost
-    return {
+    fns = {n: make_scanned(n) for n in (n_steps, 2 * n_steps)}
+    meta = {
         "model": model_type, "batch": batch_size,
         "use_fp16": use_fp16, "token_drop": len_keep is not None, "wav": wav,
         "fused_conv": fused_conv, "pool_reorder": pool_reorder,
         "fused_attention": fused_attention,
-        "ms_per_step": round(per_step * 1e3, 2),
-        "steps_per_sec": round(1.0 / per_step, 2),
-        "samples_per_sec": round(batch_size / per_step, 1),
-        "call_overhead_ms": round(call_overhead * 1e3, 1),
-        "gflops_per_step": round(flops_per_step / 1e9, 1),
-        "achieved_tflops": round(flops_per_step / per_step / 1e12, 2),
-        "warmup_s": round(warm1 + warm2, 1),
+        "layout_barrier": layout_barrier,
     }
+    return fns, (state, batch), flops_per_step, meta
+
+
+def _time_interleaved(variants, n_steps, reps):
+    """variants: {name: (fns, call_args)}.  Warm every (variant, scan-length)
+    fn once, then INTERLEAVE timed reps across ALL of them (v1:n, v1:2n,
+    v2:n, v2:2n, ...) so chip/tunnel throughput drift — minutes of compile
+    apart in a sequential order — hits every arm equally (2026-08-19:
+    sequential-phase runs of identical code spread 10.5–15.5 ms/step under a
+    congested tunnel).  Returns {name: (per_step, call_overhead, warm_s)}."""
+    import jax
+
+    warms, best = {}, {}
+    for name, (fns, call_args) in variants.items():
+        for n, f in fns.items():
+            t0 = time.time()
+            float(f(*call_args, jax.random.key(1)))
+            warms[(name, n)] = time.time() - t0
+            best[(name, n)] = float("inf")
+    for rep in range(reps):
+        for name, (fns, call_args) in variants.items():
+            for n, f in fns.items():
+                t0 = time.time()
+                float(f(*call_args, jax.random.key(rep + 2)))
+                best[(name, n)] = min(best[(name, n)], time.time() - t0)
+    out = {}
+    for name, (fns, _) in variants.items():
+        ns = sorted(fns)
+        t_n, t_2n = best[(name, ns[0])], best[(name, ns[1])]
+        per_step = (t_2n - t_n) / n_steps          # overhead-free slope
+        call_overhead = t_n - n_steps * per_step   # fixed dispatch+fetch
+        out[name] = (per_step, call_overhead,
+                     warms[(name, ns[0])] + warms[(name, ns[1])])
+    return out
+
+
+def _row(meta, flops_per_step, per_step, call_overhead, warm_s):
+    return dict(
+        meta,
+        ms_per_step=round(per_step * 1e3, 2),
+        steps_per_sec=round(1.0 / per_step, 2),
+        samples_per_sec=round(meta["batch"] / per_step, 1),
+        call_overhead_ms=round(call_overhead * 1e3, 1),
+        gflops_per_step=round(flops_per_step / 1e9, 1),
+        achieved_tflops=round(flops_per_step / per_step / 1e12, 2),
+        warmup_s=round(warm_s, 1),
+    )
+
+
+def measure(model_type: str, batch_size: int, n_steps: int = 10,
+            reps: int = 3, **kw):
+    fns, call_args, flops, meta = _setup(
+        model_type, batch_size, n_steps=n_steps, **kw)
+    timed = _time_interleaved({"_": (fns, call_args)}, n_steps, reps)
+    return _row(meta, flops, *timed["_"])
+
+
+def measure_ab(model_type: str, batch_size: int, ab_field: str, ab_values,
+               n_steps: int = 10, reps: int = 3, **kw):
+    """Same-process interleaved A/B over one config field: both variants'
+    scans compiled up front, timed reps interleaved across variants AND scan
+    lengths — the only comparison that survives tunnel drift."""
+    variants, metas, flops = {}, {}, {}
+    for v in ab_values:
+        kw2 = dict(kw, **{ab_field: v})
+        fns, call_args, fl, meta = _setup(
+            model_type, batch_size, n_steps=n_steps, **kw2)
+        name = f"{ab_field}={v}"
+        variants[name] = (fns, call_args)
+        metas[name], flops[name] = meta, fl
+    timed = _time_interleaved(variants, n_steps, reps)
+    return [_row(metas[n], flops[n], *timed[n]) for n in timed]
 
 
 def main(argv=None):
@@ -152,6 +200,12 @@ def main(argv=None):
     p.add_argument("--fused_attention", action="store_true", default=None)
     p.add_argument("--no_fused_attention", dest="fused_attention",
                    action="store_false")
+    p.add_argument("--layout_barrier", action="store_true", default=None)
+    p.add_argument("--no_layout_barrier", dest="layout_barrier",
+                   action="store_false")
+    # interleaved same-process A/B over layout_barrier on|off (the only
+    # trustworthy comparison on drift-prone days — CLAUDE.md)
+    p.add_argument("--ab_layout_barrier", action="store_true", default=False)
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -162,19 +216,25 @@ def main(argv=None):
     peak = args.peak_tflops or PEAK_TFLOPS.get(backend, 197.0)
     print(f"backend={backend} peak={peak} TFLOP/s (bf16)")
 
+    kw = dict(use_fp16=args.use_fp16,
+              token_drop=args.token_drop, wav=args.wav,
+              fused_conv=args.fused_conv, fast_mel=args.fast_mel,
+              pool_reorder=args.pool_reorder,
+              fused_attention=args.fused_attention,
+              patch_size=tuple(args.patch_size))
     rows = []
     for model in args.models:
         for b in args.batches:
-            r = measure(model, b, n_steps=args.n_steps, reps=args.reps,
-                        use_fp16=args.use_fp16,
-                        token_drop=args.token_drop, wav=args.wav,
-                        fused_conv=args.fused_conv, fast_mel=args.fast_mel,
-                        pool_reorder=args.pool_reorder,
-                        fused_attention=args.fused_attention,
-                        patch_size=tuple(args.patch_size))
-            r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
-            rows.append(r)
-            print(json.dumps(r))
+            if args.ab_layout_barrier:
+                rs = measure_ab(model, b, "layout_barrier", [False, True],
+                                n_steps=args.n_steps, reps=args.reps, **kw)
+            else:
+                rs = [measure(model, b, n_steps=args.n_steps, reps=args.reps,
+                              layout_barrier=args.layout_barrier, **kw)]
+            for r in rs:
+                r["mfu_pct"] = round(100.0 * r["achieved_tflops"] / peak, 2)
+                rows.append(r)
+                print(json.dumps(r))
     with open(args.out, "w") as f:
         json.dump({"backend": backend, "peak_tflops": peak, "rows": rows}, f,
                   indent=2)
