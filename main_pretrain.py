@@ -42,12 +42,17 @@ def run_legacy(cfg, method: str, argv_extra):
                                     niter_per_ep=len(loader))
 
     if method == "dino":
+        from ssl_audio_tpu.utils.schedules import cosine_scheduler
+
         step = make_dino_train_step(mods)
-        temp_sched = teacher_temp_schedule(0.04, 0.07, min(10, cfg.epochs), cfg.epochs)
-        # teacher momentum cosine 0.996 -> 1 (DINO default)
-        mom = 1.0 - (1.0 - 0.996) * 0.5 * (
-            1 + np.cos(np.pi * np.arange(max(cfg.epochs, 1)) / max(cfg.epochs, 1))
-        )
+        # per-EPOCH teacher temp (DINOLoss, old/methods/dino.py:340-346) and
+        # per-ITERATION teacher momentum cosine -> 1 (dino.py:148-155,
+        # indexed at the global iteration, dino.py:210-214)
+        temp_sched = teacher_temp_schedule(
+            cfg.warmup_teacher_temp, cfg.teacher_temp,
+            min(cfg.warmup_teacher_temp_epochs, cfg.epochs), cfg.epochs)
+        mom = cosine_scheduler(cfg.momentum_teacher, 1.0, cfg.epochs,
+                               len(loader))
     else:
         step = make_byola_train_step(mods)
 
@@ -55,13 +60,14 @@ def run_legacy(cfg, method: str, argv_extra):
     for epoch in range(1, cfg.epochs + 1):
         loader.set_epoch(epoch)
         last = None
-        for lms, _y in loader:
+        for i, (lms, _y) in enumerate(loader):
             key, k = jax.random.split(key)
             batch = shard_batch(lms, mesh)
             if method == "dino":
+                it = (epoch - 1) * len(loader) + i
                 state, m = step(state, batch, k,
                                 np.float32(temp_sched[epoch - 1]),
-                                np.float32(mom[epoch - 1]))
+                                np.float32(mom[it]))
             else:
                 state, m = step(state, batch, k, np.float32(0.0))
             last = m
@@ -84,7 +90,10 @@ def main(argv=None):
                         choices=["barlow", "dino", "byola"])
     args = parser.parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
-    cfg = setup_model_defaults(Config(**{k: v for k, v in vars(args).items() if k in known}))
+    cfg = setup_model_defaults(
+        Config(**{k: v for k, v in vars(args).items() if k in known}),
+        method=None if args.method == "barlow" else args.method,
+    )
 
     if args.method == "barlow":
         from ssl_audio_tpu.train.loop import Trainer

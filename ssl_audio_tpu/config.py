@@ -173,6 +173,33 @@ class Config:
     # BYOL-variant (reference main_bt_byol.py:352)
     moving_average_decay: float = 0.99
 
+    # --- old-gen (legacy) trainer recipe knobs ---
+    # The reference's old-gen DINO/BYOL-A trainers carry their OWN optimizer
+    # recipes, separate from the active tree's hyperparameters.py defaults:
+    # DINO (old/methods/dino.py:125-155 + old/configs/pretrain/dino.yaml):
+    # AdamW with per-iteration cosine lr (base_lr scaled batch/256, warmup)
+    # AND cosine weight decay; BYOL-A (old/byola/pretrain.py:142 +
+    # old/byola/config.yaml): plain Adam at a constant lr.  Defaults below
+    # are the reference yaml values; setup_model_defaults(method=...) routes
+    # them (explicit CLI/yaml values win).
+    base_lr: Optional[float] = None            # dino.yaml optimizer.base_lr
+    final_lr: float = 1.0e-6                   # dino.yaml optimizer.final_lr
+    final_wd: Optional[float] = None           # optimizer.final_weight_decay
+    warmup_epochs: int = 6                     # dino.yaml optimizer.warmup_epochs
+    momentum_teacher: float = 0.996            # dino.yaml model.momentum_teacher
+    warmup_teacher_temp: float = 0.04          # dino.yaml model.warmup_teacher_temp
+    teacher_temp: float = 0.4                  # dino.yaml model.teacher_temp
+    warmup_teacher_temp_epochs: int = 18       # dino.yaml model.warmup_teacher_temp_epochs
+    # DINO head output dim (dino.yaml model.projection.out_dim; the head's
+    # hidden/bottleneck dims are the DINOHead class defaults 2048/256, which
+    # the reference trainer never overrides, old/methods/dino.py:76-77)
+    dino_out_dim: int = 4096
+    # BYOL-A projector/predictor dims (old/byola/config.yaml
+    # model.projection.{proj_size,proj_dim} -> BYOL(projection_size,
+    # projection_hidden_size), old/byola/pretrain.py:116-125)
+    proj_size: int = 256
+    proj_dim: int = 4096
+
     # --- TPU-native extensions (no reference equivalent) ---
     # number of devices along the data mesh axis; 0 = all local devices
     data_axis_size: int = 0
@@ -210,8 +237,28 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
-def setup_model_defaults(cfg: Config) -> Config:
-    """Reference utils/hyperparameters.py:101-110."""
+def setup_model_defaults(cfg: Config, method: Optional[str] = None) -> Config:
+    """Reference utils/hyperparameters.py:101-110.
+
+    With method='dino'/'byola', first injects the old-gen trainer recipe the
+    reference hard-codes per method (AdamW + cosine lr/wd schedules,
+    old/methods/dino.py:125-147; plain Adam, old/byola/pretrain.py:142) —
+    explicit values win, and the method recipe wins over the model-type
+    fill below (the reference's old-gen trainers ignore hyperparameters.py).
+    """
+    if method == "dino":
+        cfg = cfg.replace(
+            optimizer="AdamW",
+            base_lr=cfg.base_lr if cfg.base_lr is not None else 5.0e-4,
+            wd=cfg.wd if cfg.wd is not None else 0.04,
+            final_wd=cfg.final_wd if cfg.final_wd is not None else 0.4,
+        )
+    elif method == "byola":
+        cfg = cfg.replace(
+            optimizer="Adam",
+            base_lr=cfg.base_lr if cfg.base_lr is not None else 3.0e-4,
+            wd=cfg.wd if cfg.wd is not None else 0.0,
+        )
     if "vit" in cfg.model_type:
         opt = cfg.optimizer or "AdamW"
         lr = cfg.lr if cfg.lr is not None else 1e-4 * cfg.batch_size / 128
@@ -224,8 +271,8 @@ def setup_model_defaults(cfg: Config) -> Config:
     return cfg.replace(optimizer=opt, lr_weights=lr_w, lr_biases=lr_b, wd=wd)
 
 
-def default_config(**kw) -> Config:
-    return setup_model_defaults(Config(**kw))
+def default_config(method: Optional[str] = None, **kw) -> Config:
+    return setup_model_defaults(Config(**kw), method=method)
 
 
 def _add_bool_pair(parser, name, default, negative=None):
@@ -316,6 +363,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--wd", type=float, default=None)
     # BYOL-variant flag (reference main_bt_byol.py:352)
     p.add_argument("--moving_average_decay", type=float, default=0.99)
+    # old-gen (legacy) trainer recipe knobs (see Config field comments)
+    p.add_argument("--base_lr", type=float, default=None)
+    p.add_argument("--final_lr", type=float, default=1.0e-6)
+    p.add_argument("--final_wd", type=float, default=None)
+    p.add_argument("--warmup_epochs", type=int, default=6)
+    p.add_argument("--momentum_teacher", type=float, default=0.996)
+    p.add_argument("--warmup_teacher_temp", type=float, default=0.04)
+    p.add_argument("--teacher_temp", type=float, default=0.4)
+    p.add_argument("--warmup_teacher_temp_epochs", type=int, default=18)
+    p.add_argument("--dino_out_dim", type=int, default=4096)
+    p.add_argument("--proj_size", type=int, default=256)
+    p.add_argument("--proj_dim", type=int, default=4096)
     # TPU-native extensions
     p.add_argument("--data_axis_size", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1)
@@ -367,9 +426,15 @@ def config_from_args(argv=None) -> Config:
         for src, dst in (("lambd", "lmbda"), ("base_lr", "lr"),
                          ("batch_size_per_gpu", "batch_size"),
                          ("save_epoch_it", "epoch_save_f"),
-                         ("weight_decay", "wd")):
+                         ("weight_decay", "wd"),
+                         ("final_weight_decay", "final_wd"),
+                         ("ema_decay", "moving_average_decay"),
+                         ("out_dim", "dino_out_dim")):
             if src in flat and dst not in flat:
-                flat[dst] = flat.pop(src)
+                # keep src too when it is itself a Config field (base_lr
+                # feeds BOTH cfg.lr — the active-tree slot, r3-tested —
+                # and cfg.base_lr, the old-gen recipe slot)
+                flat[dst] = flat[src] if src in known else flat.pop(src)
         # CLI flags explicitly present on the command line win over yaml.
         # Resolve each option string through the parser's option->dest table
         # so negated flags register under their dest (e.g. --no_pool_reorder

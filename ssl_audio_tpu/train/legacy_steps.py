@@ -2,7 +2,8 @@
 
 make_dino_train_step  — DINO (old/methods/dino.py): student gets all crops,
     EMA teacher gets the two global crops, centered/sharpened CE loss, center
-    carried in the train state, teacher momentum schedule, gradient clipping.
+    carried in the train state, teacher momentum schedule (clipping opt-in —
+    the reference loop does not clip).
 make_byola_train_step — BYOL-A (old/byola/byol_pytorch.py): online
     projector+predictor vs EMA target projector, symmetric normalized-MSE.
 
@@ -48,13 +49,17 @@ class LegacyModules:
         self.encoder, self.feature_dim = build_encoder(cfg)
         self.vit = is_vit(cfg)
         if method == "dino":
-            self.head = DINOHead(out_dim=cfg.projector_out_dim,
-                                 hidden_dim=cfg.projector_hidden_dim)
+            # hidden/bottleneck stay the DINOHead class defaults (2048/256)
+            # — the reference trainer only sets out_dim
+            # (old/methods/dino.py:76-77, dino.yaml projection.out_dim)
+            self.head = DINOHead(out_dim=cfg.dino_out_dim)
         elif method == "byola":
-            self.head = _MLPHead(hidden_dim=cfg.projector_hidden_dim,
-                                 out_dim=cfg.projector_out_dim)
-            self.predictor = _MLPHead(hidden_dim=cfg.projector_hidden_dim,
-                                      out_dim=cfg.projector_out_dim)
+            # BYOL(projection_size=proj_size, projection_hidden_size=
+            # proj_dim), old/byola/pretrain.py:116-125 + config.yaml
+            self.head = _MLPHead(hidden_dim=cfg.proj_dim,
+                                 out_dim=cfg.proj_size)
+            self.predictor = _MLPHead(hidden_dim=cfg.proj_dim,
+                                      out_dim=cfg.proj_size)
         else:
             raise ValueError(method)
 
@@ -106,14 +111,17 @@ def init_legacy_state(cfg, rng, method: str, niter_per_ep: int = 100):
     batch_stats = {"encoder": enc_vars.get("batch_stats", {}),
                    "head": head_vars.get("batch_stats", {}), "predictor": {}}
     if method == "byola":
-        emb = jnp.zeros((2, cfg.projector_out_dim), jnp.float32)
+        emb = jnp.zeros((2, cfg.proj_size), jnp.float32)
         pred_vars = mods.predictor.init({"params": ks[2]}, emb, train=False)
         params["predictor"] = pred_vars["params"]
         batch_stats["predictor"] = pred_vars.get("batch_stats", {})
 
     from ssl_audio_tpu.train import optim as optim_lib
 
-    tx = optim_lib.make_optimizer(cfg, params, niter_per_ep)
+    # the old-gen trainers carry their own optimizer recipes (AdamW +
+    # cosine lr/wd for DINO, constant-lr Adam for BYOL-A) — NOT the
+    # active tree's hyperparameters.py defaults
+    tx = optim_lib.make_legacy_optimizer(cfg, method, niter_per_ep)
     mods.tx = tx
     target_params = jax.tree.map(jnp.array, params)
     target_bs = jax.tree.map(jnp.array, batch_stats)
@@ -125,15 +133,20 @@ def init_legacy_state(cfg, rng, method: str, niter_per_ep: int = 100):
         aug=init_augment_state(cfg),
         target_params=target_params,
         target_batch_stats=target_bs,
-        extra={"center": jnp.zeros((1, cfg.projector_out_dim))}
+        extra={"center": jnp.zeros((1, cfg.dino_out_dim))}
         if method == "dino" else None,
     )
     return mods, state
 
 
-def make_dino_train_step(mods: LegacyModules, clip_grad: float = 3.0, donate: bool = False):
+def make_dino_train_step(mods: LegacyModules, clip_grad: float = None,
+                         donate: bool = False):
     """DINO step: loss(student=all views, teacher=2 globals via EMA teacher);
-    teacher momentum and teacher temperature are traced per-step scalars."""
+    teacher momentum and teacher temperature are traced per-step scalars.
+
+    clip_grad defaults to None for parity: the reference's old-gen DINO
+    loop backprops without clipping (old/methods/dino.py:196-206); pass
+    3.0 for the upstream DINO paper's recipe."""
     cfg = mods.cfg
 
     def step(state: TrainState, batch, key, teacher_temp, teacher_momentum):

@@ -140,3 +140,74 @@ def make_optimizer(cfg, params, niter_per_ep: int) -> optax.GradientTransformati
             {"train": tx, "frozen": optax.set_to_zero()}, labels
         )
     return tx
+
+
+def legacy_cosine_factor(
+    base_value: float, final_value: float, epochs: int, niter_per_ep: int,
+    warmup_epochs: int = 0, start_warmup_value: float = 0.0,
+) -> Callable:
+    """Traceable twin of the old-gen per-iteration cosine_scheduler
+    (reference old/utils/utils.py:62-74, mirrored in
+    utils/schedules.cosine_scheduler): linear warmup over
+    warmup_epochs*niter iterations with np.linspace endpoint semantics
+    (iteration i gets start + (base-start)*i/(warmup_iters-1)), then
+    final + 0.5*(base-final)*(1+cos(pi*j/span)).  Exact array parity is
+    asserted in tests/test_legacy_optim.py; steps past the nominal budget
+    clamp to final_value (the reference array would IndexError there)."""
+    warmup_iters = int(warmup_epochs * niter_per_ep)
+    span = max(int(epochs * niter_per_ep) - warmup_iters, 1)
+
+    def factor(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup_iters > 1:
+            warm = start_warmup_value + (base_value - start_warmup_value) * (
+                step / (warmup_iters - 1)
+            )
+        else:
+            warm = jnp.float32(start_warmup_value)
+        j = jnp.clip(step - warmup_iters, 0, span)
+        cos_val = final_value + 0.5 * (base_value - final_value) * (
+            1 + jnp.cos(jnp.pi * j / span)
+        )
+        return jnp.where(step < warmup_iters, warm, cos_val)
+
+    return factor
+
+
+def make_legacy_optimizer(
+    cfg, method: str, niter_per_ep: int
+) -> optax.GradientTransformation:
+    """The old-gen trainers' own optimizers (NOT the active-tree recipe):
+
+    dino  — AdamW over the get_param_groups split (ndim>1 decayed) with a
+            per-iteration cosine lr schedule (base_lr linearly scaled by
+            batch/256, warmup_epochs warmup, floor final_lr) AND a cosine
+            weight-decay schedule wd -> final_wd
+            (old/methods/dino.py:125-147).
+    byola — plain Adam over all params at a constant lr
+            (old/byola/pretrain.py:142).
+
+    The method defaults (AdamW 5e-4 / Adam 3e-4, wd 0.04 -> 0.4) are
+    injected by setup_model_defaults(method=...); this factory falls back
+    to the same values for configs built without the method argument."""
+    if method == "byola":
+        lr = cfg.base_lr if cfg.base_lr is not None else 3.0e-4
+        return optax.adam(learning_rate=lr)
+    if method != "dino":
+        raise ValueError(f"no legacy optimizer for method {method!r}")
+    base = cfg.base_lr if cfg.base_lr is not None else 5.0e-4
+    # linear scaling rule, dino.py:136: base_lr * global_batch / 256
+    # (cfg.batch_size is the global batch here; the reference writes it as
+    # batch_size_per_gpu * world_size)
+    lr_fn = legacy_cosine_factor(
+        base * cfg.batch_size / 256.0, cfg.final_lr, cfg.epochs,
+        niter_per_ep, warmup_epochs=cfg.warmup_epochs,
+    )
+    wd0 = cfg.wd if cfg.wd is not None else 0.04
+    wd1 = cfg.final_wd if cfg.final_wd is not None else 0.4
+    wd_fn = legacy_cosine_factor(wd0, wd1, cfg.epochs, niter_per_ep)
+    # mask is a pytree-factory, not a schedule: keep it static under
+    # inject_hyperparams or it would be called with the step count
+    return optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+        learning_rate=lr_fn, weight_decay=wd_fn, mask=_no_wd_mask
+    )

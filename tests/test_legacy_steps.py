@@ -16,6 +16,7 @@ def tiny_cfg(**kw):
     base = dict(
         dataset="synthetic", model_type="audiontt", batch_size=8,
         projector_hidden_dim=64, projector_out_dim=16, mixup_n_memory=16,
+        dino_out_dim=16, proj_size=16, proj_dim=64,
         synthetic_steps_per_epoch=2, epochs=1, num_workers=2, no_eval=True,
     )
     base.update(kw)
@@ -28,7 +29,10 @@ def batch(rng, b=8):
 
 class TestDinoStep:
     def test_loss_finite_center_updates(self, rng):
-        cfg = tiny_cfg()
+        # warmup_epochs=0: the faithful recipe's iteration-0 lr is exactly 0
+        # (linspace warmup start, old/utils/utils.py:62-74), which would make
+        # the one-step teacher-trails-student assertion vacuous
+        cfg = tiny_cfg(warmup_epochs=0)
         mods, state = init_legacy_state(cfg, jax.random.key(0), "dino")
         step = make_dino_train_step(mods)
         c0 = np.asarray(state.extra["center"]).copy()

@@ -48,12 +48,17 @@ class _LegacyTrainerShim:
             cfg, jax.random.key(cfg.seed), method,
             niter_per_ep=len(self.loader))
         if method == "dino":
+            from ssl_audio_tpu.utils.schedules import cosine_scheduler
+
             self.step = make_dino_train_step(self.mods)
-            self.temp = teacher_temp_schedule(0.04, 0.07, min(10, cfg.epochs),
-                                              cfg.epochs)
-            self.mom = 1.0 - (1.0 - 0.996) * 0.5 * (
-                1 + np.cos(np.pi * np.arange(max(cfg.epochs, 1))
-                           / max(cfg.epochs, 1)))
+            # the reference recipe: per-epoch teacher temp warmup
+            # (dino.py:340-346) + per-iteration momentum cosine -> 1
+            # (dino.py:148-155, 210-214)
+            self.temp = teacher_temp_schedule(
+                cfg.warmup_teacher_temp, cfg.teacher_temp,
+                min(cfg.warmup_teacher_temp_epochs, cfg.epochs), cfg.epochs)
+            self.mom = cosine_scheduler(cfg.momentum_teacher, 1.0,
+                                        cfg.epochs, len(self.loader))
         else:
             self.step = make_byola_train_step(self.mods)
         self.key = jax.random.key(cfg.seed + 1)
@@ -66,14 +71,15 @@ class _LegacyTrainerShim:
 
         self.loader.set_epoch(epoch)
         losses = []
-        for lms, _y in self.loader:
+        for i, (lms, _y) in enumerate(self.loader):
             self.key, k = jax.random.split(self.key)
             batch = shard_batch(lms, self.mesh)
             if self.method == "dino":
+                it = (epoch - 1) * len(self.loader) + i
                 self.state, m = self.step(
                     self.state, batch, k,
                     np.float32(self.temp[epoch - 1]),
-                    np.float32(self.mom[epoch - 1]))
+                    np.float32(self.mom[it]))
             else:
                 self.state, m = self.step(self.state, batch, k,
                                           np.float32(0.0))
@@ -109,7 +115,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
     cfg = setup_model_defaults(
-        Config(**{k: v for k, v in vars(args).items() if k in known})
+        Config(**{k: v for k, v in vars(args).items() if k in known}),
+        method=None if args.method == "barlow" else args.method,
     ).replace(no_eval=True)
 
     import functools
