@@ -36,6 +36,22 @@ selected part-products accumulated in fp32):
     rates.  This is the hand-rolled fp32 multi-pass (VERDICT r2 #9).
 
 The tiny power->mel matmul stays fp32 HIGHEST in every mode.
+
+Folded variant (r4): when the window is midpoint-symmetric with w[0] == 0
+(periodic Hann — the reference's torch.stft default, datasets.py:39-48), the
+DFT reduces to half-size GEMMs over folded frames e = f + f_rev, o = f - f_rev
+(see MelSpec.dft_matrices_folded) — HALF the MXU passes, which is this
+kernel's measured cost axis (PERF.md: 3-pass 22.7 ms / 6-pass 39.3 ms, linear
+in passes).  The reversed reads never leave the sublane-shift access pattern:
+a second row tensor holds the flipped signal laid out so frame j's k-th
+reversed chunk is rows[j + kf-1-k] — the same aligned-slab + in-register
+rotate the forward stream uses (Mosaic forbids lane-misaligned slices, so an
+in-kernel lane reversal is not an option).  Exactness of the streaming fold:
+lane c of reversed chunk 0 reads x[s + n_fft - c], whose c = 0 element is the
+sample one PAST the frame (the fold formula wants f[(N-n) % N], i.e. f[0] at
+n = 0) — but row 0 of the folded bases carries w[0] == 0, so that column is
+multiplied by an exactly-zero weight (asserted at build time).  Windows with
+w[0] != 0 (or asymmetric) fall back to the unfolded kernel automatically.
 """
 from __future__ import annotations
 
@@ -74,6 +90,26 @@ def _chunked_cs_matrix(spec: MelSpec):
     P = np.zeros((padded, CS.shape[1]), np.float32)
     P[: spec.n_fft] = CS
     return P.reshape(n_shift, hop, -1), n_shift
+
+
+def _chunked_cs_matrix_folded(spec: MelSpec):
+    """(2, kf, hop, n_freqs_used) zero-padded chunk views of the FOLDED
+    bases (index 0 = C_half for the even stream e, 1 = S_half for the odd
+    stream o), or None when the fold does not apply (asymmetric window or
+    w[0] != 0 — the streaming fold's n = 0 column reads x[s + n_fft], which
+    is only exact because row 0 of the bases is zero)."""
+    folded = spec.dft_matrices_mel_folded
+    if folded is None or spec.window[0] != 0.0:
+        return None
+    C_half, S_half = folded                     # (n_fft//2+1, n_freqs_used)
+    hop = spec.hop_length
+    h = spec.n_fft // 2 + 1
+    kf = -(-h // hop)
+    P = np.zeros((2, kf * hop, C_half.shape[1]), np.float32)
+    P[0, :h] = C_half
+    P[1, :h] = S_half
+    assert not P[:, 0].any(), "folded kernel requires zero n=0 basis rows"
+    return P.reshape(2, kf, hop, -1), kf
 
 
 def _split_bf16(x: np.ndarray, parts: int):
@@ -142,15 +178,95 @@ def _make_kernel(n_shift: int, n_freqs: int, mode: str):
     return kernel, w_rows, n_w_parts
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _make_kernel_folded(kf: int, n_freqs: int, mode: str):
+    """Folded-stream kernel: per chunk k, e/o are built from the forward and
+    reversed row slabs (both plain sublane shifts) and feed two half-width
+    dots (e @ C_half_k, o @ S_half_k) — half the MXU passes of the unfolded
+    kernel's full-width [C | S] dot at every precision mode."""
+    w_rows = TILE_T + ((kf + 7) // 8) * 8
+    f32 = jnp.float32
+    passes = MODE_PASSES[mode]
+    n_in_parts = 1 + max(a for a, _ in passes) if mode != "f32" else 1
+    n_w_parts = 1 + max(b for _, b in passes) if mode != "f32" else 1
+
+    def kernel(rows_ref, rrows_ref, *refs):
+        cs_refs = refs[:n_w_parts]              # each (2, kf, hop, n_freqs)
+        fb_ref = refs[n_w_parts]
+        out_ref = refs[n_w_parts + 1]
+        i = pl.program_id(1)
+        wf = rows_ref[0, pl.ds(i * TILE_T, w_rows), :]
+        wr = rrows_ref[0, pl.ds(i * TILE_T, w_rows), :]
+        vre = jnp.zeros((TILE_T, n_freqs), f32)
+        vim = jnp.zeros((TILE_T, n_freqs), f32)
+        for k in range(kf):
+            fwd = _shifted(wf, k)
+            rev = _shifted(wr, kf - 1 - k)
+            e = fwd + rev
+            o = fwd - rev
+            if mode == "f32":
+                e_parts, o_parts = [e], [o]
+            else:
+                e_parts, o_parts = [], []
+                re_, ro_ = e, o
+                for _ in range(n_in_parts):
+                    he = re_.astype(jnp.bfloat16)
+                    ho = ro_.astype(jnp.bfloat16)
+                    e_parts.append(he)
+                    o_parts.append(ho)
+                    re_ = re_ - he.astype(f32)
+                    ro_ = ro_ - ho.astype(f32)
+            for a, b in passes:
+                if mode == "f32":
+                    vre += jnp.dot(e_parts[a], cs_refs[b][0, k],
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=f32)
+                    vim += jnp.dot(o_parts[a], cs_refs[b][1, k],
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=f32)
+                else:
+                    vre += jnp.dot(e_parts[a], cs_refs[b][0, k],
+                                   preferred_element_type=f32)
+                    vim += jnp.dot(o_parts[a], cs_refs[b][1, k],
+                                   preferred_element_type=f32)
+        p = vre * vre + vim * vim
+        mel = jnp.dot(p, fb_ref[:], precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=f32)
+        out_ref[0] = jnp.log(mel + TORCH_FLOAT32_EPS)
+
+    return kernel, w_rows, n_w_parts
+
+
+def _reversed_rows(x: jnp.ndarray, spec: MelSpec, n_rows: int) -> jnp.ndarray:
+    """(B, n_rows*hop) zero-filled padded signal -> (B, n_rows, hop) reversed
+    row tensor for the folded kernel: row r, lane c holds
+    x[D + r*hop - c] with D = n_fft - (kf-1)*hop, so frame j's k-th reversed
+    chunk (lane c = sample x[j*hop + n_fft - (k*hop + c)]) is exactly row
+    j + kf-1-k — the same sublane-shift slab access as the forward stream."""
+    hop = spec.hop_length
+    h = spec.n_fft // 2 + 1
+    kf = -(-h // hop)
+    D = spec.n_fft - (kf - 1) * hop
+    start = D - hop + 1
+    stop = D + (n_rows - 1) * hop + 1
+    pad_l = max(0, -start)
+    pad_r = max(0, stop - x.shape[-1])
+    xe = jnp.pad(x, ((0, 0), (pad_l, pad_r)))
+    seg = xe[:, start + pad_l: stop + pad_l]              # (B, n_rows*hop)
+    z = jnp.flip(seg, axis=-1).reshape(x.shape[0], n_rows, hop)
+    return jnp.flip(z, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def log_mel_spectrogram_pallas(
     wav: jnp.ndarray, spec: MelSpec, fast: bool = False,
-    mode: str | None = None,
+    mode: str | None = None, fold: bool | None = None,
 ) -> jnp.ndarray:
     """(B, L) -> (B, n_mels, T) log-mel via the fused Pallas kernel.
     Matches ops/mel.py log_mel_spectrogram (torch.stft center/reflect
     semantics).  mode in {"f32", "fast", "precise"} overrides the legacy
-    fast flag (see module docstring)."""
+    fast flag (see module docstring).  fold: None = auto (folded kernel
+    whenever the window admits it — half the MXU passes), True = require
+    it, False = force the unfolded kernel (A/B benchmarking)."""
     if mode is None:
         mode = "fast" if fast else "f32"
     if mode not in MODE_PASSES:
@@ -159,8 +275,15 @@ def log_mel_spectrogram_pallas(
     hop, n_fft, n_mels = spec.hop_length, spec.n_fft, spec.n_mels
     n_freqs = spec.n_freqs_used
     T = spec.num_frames(L)
-    CSp, n_shift = _chunked_cs_matrix(spec)
-    kernel, w_rows, n_w_parts = _make_kernel(n_shift, n_freqs, mode)
+    folded = _chunked_cs_matrix_folded(spec) if fold is not False else None
+    if fold and folded is None:
+        raise ValueError("fold=True but the window is not foldable")
+    if folded is not None:
+        CSp, n_chunks = folded
+        kernel, w_rows, n_w_parts = _make_kernel_folded(n_chunks, n_freqs, mode)
+    else:
+        CSp, n_chunks = _chunked_cs_matrix(spec)
+        kernel, w_rows, n_w_parts = _make_kernel(n_chunks, n_freqs, mode)
     T_pad = ((T + TILE_T - 1) // TILE_T) * TILE_T
     n_rows = T_pad - TILE_T + w_rows        # last tile's window must fit
 
@@ -171,12 +294,16 @@ def log_mel_spectrogram_pallas(
 
     FB = spec.filterbank_mel
     n_passes = len(MODE_PASSES[mode])
-    flops = (2 * T_pad * (n_shift * hop) * (2 * n_freqs) * n_passes
+    # per frame: n_chunks dots with 2*n_freqs total output lanes (one merged
+    # [C|S] dot unfolded; two half-width e/o dots folded) — the fold's 2x is
+    # n_chunks (kf = ceil((n_fft/2+1)/hop) vs ceil(n_fft/hop)+1)
+    flops = (2 * T_pad * (n_chunks * hop) * (2 * n_freqs) * n_passes
              + 2 * T_pad * n_freqs * n_mels)
 
     def wspec():
-        return pl.BlockSpec((n_shift, hop, 2 * n_freqs),
-                            lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM)
+        shape = CSp.shape
+        return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
 
     if mode == "f32":
         weights = [jnp.asarray(CSp)]
@@ -184,12 +311,19 @@ def log_mel_spectrogram_pallas(
         weights = [jnp.asarray(w) for w in _split_bf16(CSp, n_w_parts)]
     weight_specs = [wspec() for _ in weights]
 
+    rowspec = pl.BlockSpec((1, n_rows, hop), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    inputs = [rows]
+    in_specs = [rowspec]
+    if folded is not None:
+        inputs.append(_reversed_rows(x, spec, n_rows))
+        in_specs.append(rowspec)
+
     out = pl.pallas_call(
         kernel,
         grid=(B, T_pad // TILE_T),
         in_specs=[
-            pl.BlockSpec((1, n_rows, hop), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *in_specs,
             *weight_specs,
             pl.BlockSpec((n_freqs, n_mels), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -199,9 +333,10 @@ def log_mel_spectrogram_pallas(
         out_shape=jax.ShapeDtypeStruct((B, T_pad, n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops * B,
-            bytes_accessed=B * (n_rows * hop + T_pad * n_mels) * 4,
+            bytes_accessed=B * (len(inputs) * n_rows * hop
+                                + T_pad * n_mels) * 4,
             transcendentals=B * T_pad * n_mels,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(rows, *weights, jnp.asarray(FB))
+    )(*inputs, *weights, jnp.asarray(FB))
     return jnp.swapaxes(out[:, :T], -1, -2)

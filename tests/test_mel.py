@@ -166,3 +166,44 @@ def test_pallas_multipass_modes(spec, rng):
         log_mel_spectrogram_pallas(jnp.asarray(wav), spec, mode="fast"))
     np.testing.assert_allclose(precise, ref, atol=5e-5)
     np.testing.assert_allclose(fast, ref, atol=5e-4)
+
+
+def test_pallas_folded_kernel(spec, rng):
+    """The folded Pallas kernel (half-size e/o GEMMs fed by the reversed
+    row stream) must match the unfolded kernel and the XLA oracle in every
+    mode; windows that don't admit the streaming fold (w[0] != 0) must
+    route to the unfolded kernel under fold=None and reject fold=True."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ssl_audio_tpu.ops.mel_pallas import (
+        _chunked_cs_matrix_folded, log_mel_spectrogram_pallas)
+
+    wav = (0.3 * rng.standard_normal((2, 32000))).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(wav), spec))
+    for mode, atol in [("f32", 1e-5), ("fast", 5e-4), ("precise", 5e-5)]:
+        folded = np.asarray(log_mel_spectrogram_pallas(
+            jnp.asarray(wav), spec, mode=mode, fold=True))
+        unfolded = np.asarray(log_mel_spectrogram_pallas(
+            jnp.asarray(wav), spec, mode=mode, fold=False))
+        np.testing.assert_allclose(folded, ref, atol=atol)
+        # fold is the same sums pairwise-reassociated: kernels agree to
+        # accumulation-order noise, far inside the oracle band
+        np.testing.assert_allclose(folded, unfolded, atol=atol)
+
+    # odd frame counts / non-tile-multiple T exercise the tail tile
+    short = (0.3 * rng.standard_normal((1, 4801))).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(log_mel_spectrogram_pallas(jnp.asarray(short), spec,
+                                              fold=True)),
+        np.asarray(log_mel_spectrogram(jnp.asarray(short), spec)),
+        atol=1e-5)
+
+    # a boxcar window has w[0] != 0: the streaming fold's n=0 column would
+    # read x[s + n_fft] against a nonzero weight -> must not fold
+    import dataclasses
+    boxcar = dataclasses.replace(spec, win_length=spec.n_fft)
+    boxcar.__dict__["window"] = np.ones(spec.n_fft)  # seed cached_property
+    assert _chunked_cs_matrix_folded(boxcar) is None
+    with pytest.raises(ValueError):
+        log_mel_spectrogram_pallas(jnp.asarray(wav), boxcar, fold=True)

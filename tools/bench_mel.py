@@ -88,6 +88,10 @@ def main(argv=None):
         ("pallas_high", lambda w: log_mel_spectrogram_pallas(w, spec, True)),
         ("pallas_precise",
          lambda w: log_mel_spectrogram_pallas(w, spec, mode="precise")),
+        ("pallas_highest_unfolded",
+         lambda w: log_mel_spectrogram_pallas(w, spec, fold=False)),
+        ("pallas_high_unfolded",
+         lambda w: log_mel_spectrogram_pallas(w, spec, True, fold=False)),
     ]:
         dt = bench(fn, wavs, n_steps=args.n_steps)
         rows[name] = {"ms_per_step": round(dt * 1e3, 2),

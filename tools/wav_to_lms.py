@@ -79,8 +79,8 @@ def main(argv=None):
             paths_g, wavs_g = zip(*g)
             batch = jnp.asarray(np.stack(wavs_g))
             if args.fast and jax.default_backend() == "tpu":
-                # fused-framing Pallas kernel: fastest mel path in fast mode
-                # (PERF.md: 22.6 ms vs XLA HIGH 25.3 / HIGHEST 33.5 @ B=256)
+                # fused-framing Pallas kernel, auto-folded via Hann symmetry
+                # when the window admits it (PERF.md "mel only" table)
                 from ssl_audio_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
 
                 lms = np.asarray(log_mel_spectrogram_pallas(batch, spec, True))
