@@ -18,3 +18,8 @@ Design stance (not a port):
 __version__ = "0.1.0"
 
 from ssl_audio_tpu.config import Config, default_config  # noqa: F401
+from ssl_audio_tpu.utils import compile_cache as _compile_cache
+
+# Persistent XLA compilation cache, on by default for every entry point
+# (opt out: SSL_AUDIO_TPU_COMPILE_CACHE=0 or --no_compile_cache).
+_compile_cache.init_from_env()

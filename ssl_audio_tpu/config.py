@@ -275,6 +275,19 @@ def default_config(method: Optional[str] = None, **kw) -> Config:
     return setup_model_defaults(Config(**kw), method=method)
 
 
+def config_fingerprint(cfg: Config):
+    """(resolved-config dict, short sha256) — stamped into every perf/proof
+    artifact (tools/prove_learning.py, tools/mfu.py) so an artifact recorded
+    under a superseded recipe is detectable (VERDICT r4 #7: the stale DINO
+    proof slipped through because artifacts carried no config identity)."""
+    import hashlib
+    import json as _json
+
+    d = dataclasses.asdict(cfg)
+    blob = _json.dumps(d, sort_keys=True, default=str)
+    return d, hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def _add_bool_pair(parser, name, default, negative=None):
     dest = name.lstrip("-").replace("-", "_")
     parser.add_argument(f"--{dest}", action="store_true", default=default)
@@ -386,6 +399,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default="")
     p.add_argument("--audioset_balanced_only", action="store_true", default=False)
     p.add_argument("--audioset_200k_only", action="store_true", default=False)
+    # persistent XLA compilation cache (utils/compile_cache.py; on by default)
+    p.add_argument("--no_compile_cache", action="store_true", default=False)
+    p.add_argument("--compile_cache_dir", type=str, default=None)
     return p
 
 
@@ -402,6 +418,13 @@ def config_from_args(argv=None) -> Config:
     args = parser.parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
     kw = {k: v for k, v in vars(args).items() if k in known}
+
+    from ssl_audio_tpu.utils import compile_cache
+
+    if args.no_compile_cache:
+        compile_cache.disable()
+    elif args.compile_cache_dir:
+        compile_cache.enable(args.compile_cache_dir)
 
     if args.config:
         import yaml

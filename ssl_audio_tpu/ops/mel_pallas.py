@@ -108,7 +108,11 @@ def _chunked_cs_matrix_folded(spec: MelSpec):
     P = np.zeros((2, kf * hop, C_half.shape[1]), np.float32)
     P[0, :h] = C_half
     P[1, :h] = S_half
-    assert not P[:, 0].any(), "folded kernel requires zero n=0 basis rows"
+    if P[:, 0].any():
+        # hard check (not an assert — must survive `python -O`): a nonzero
+        # n = 0 basis row would make the wrap column read x[s + n_fft]
+        # incorrectly; fall back to the unfolded kernel (ADVICE r4)
+        return None
     return P.reshape(2, kf, hop, -1), kf
 
 

@@ -1,11 +1,20 @@
 """Folded-vs-unfolded Pallas mel kernel A/B (r4 follow-up to the XLA-side
 Hann fold, PERF.md "Folded-DFT GEMM").
 
-Same scan+checksum methodology as tools/bench_mel.py, but reps are
-INTERLEAVED across variants (round-robin, min per variant) because the
-tunnel/chip throughput drifts on minute scales (CLAUDE.md 2026-08-19) —
-sequential-phase comparisons are untrustworthy on noisy days.  Results are
-dumped incrementally after every round so a timeout preserves progress.
+Methodology (r5, per ADVICE r4):
+  * SLOPE timing — every measurement times TWO scan lengths (n and 2n)
+    back-to-back and reports (t_2n - t_n)/n, which cancels the fixed
+    per-call dispatch+fetch tunnel overhead (~25-45 ms/call, CLAUDE.md)
+    that a single-length total/n would fold into ms_per_step.
+  * Reps are INTERLEAVED across variants (round-robin) because tunnel/chip
+    throughput drifts on minute scales (CLAUDE.md 2026-08-19) —
+    sequential-phase comparisons are untrustworthy on noisy days.
+  * Only the post-compile full-set rounds count toward the published
+    numbers (median over equal rep counts); the incremental
+    rounds run after each compile are warmup, so earlier-compiled
+    variants no longer accumulate extra best-of reps.
+Results are dumped incrementally after every round so a timeout preserves
+progress.
 
     python tools/bench_mel_fold.py --batch 256 --seconds 10
 """
@@ -58,59 +67,60 @@ def main(argv=None):
          lambda w: log_mel_spectrogram_pallas(w, spec)),
     ]
 
-    def make_scanned(fn):
+    def make_scanned(fn, n_steps):
         def scanned(wavs, seed):
             def body(acc, i):
                 out = fn(wavs + (seed + i).astype(jnp.float32) * 1e-4)
                 return acc + out.mean(), None
 
             acc, _ = lax.scan(body, seed.astype(jnp.float32) * 1e-3,
-                              jnp.arange(args.n_steps))
+                              jnp.arange(n_steps))
             return acc
 
         return jax.jit(scanned)
 
-    rows: dict = {}
+    n = args.n_steps
     fns = {}
     for name, fn in variants:
-        f = make_scanned(fn)
+        pair = (make_scanned(fn, n), make_scanned(fn, 2 * n))
         t0 = time.time()
-        a = float(f(wavs, jnp.int32(0)))          # compile + warm
+        a = float(pair[0](wavs, jnp.int32(0)))     # compile + warm (n)
+        a2 = float(pair[1](wavs, jnp.int32(1)))    # compile + warm (2n)
         print(f"compiled {name} in {time.time() - t0:.0f}s "
-              f"(checksum {a:.4f})", flush=True)
-        fns[name] = (f, a)
-        rows[name] = {"best_ms": float("inf")}
+              f"(checksums {a:.4f}/{a2:.4f})", flush=True)
+        fns[name] = pair
+        # one untimed round over everything compiled so far keeps the chip
+        # warm, but contributes NOTHING to the published stats (equal-count
+        # rule, ADVICE r4)
+        for g, g2 in fns.values():
+            float(g(wavs, jnp.int32(7)))
+            float(g2(wavs, jnp.int32(8)))
 
-        # interleave: after each new compile, one timing round over every
-        # variant compiled so far keeps pairs comparable even on timeout
-        for rep in range(2):
-            for n, (g, warm) in fns.items():
-                t0 = time.time()
-                b = float(g(wavs, jnp.int32(100 + rep)))
-                dt = (time.time() - t0) / args.n_steps
-                assert b != warm
-                rows[n]["best_ms"] = min(rows[n]["best_ms"], dt * 1e3)
-        out = {n: {"ms_per_step": round(r["best_ms"], 2),
-                   "clips_per_sec": round(B / (r["best_ms"] / 1e3), 1)}
-               for n, r in rows.items()}
+    # equal-count interleaved slope rounds — the only timing that publishes
+    slopes: dict = {name: [] for name in fns}
+    calls: dict = {name: [] for name in fns}
+    for rep in range(args.reps):
+        for name, (g, g2) in fns.items():
+            t0 = time.time()
+            b = float(g(wavs, jnp.int32(200 + rep)))
+            t1 = time.time()
+            b2 = float(g2(wavs, jnp.int32(300 + rep)))
+            t2 = time.time()
+            assert b2 != b
+            slopes[name].append(((t2 - t1) - (t1 - t0)) / n * 1e3)
+            calls[name].append((t1 - t0) * 1e3)
+        out = {}
+        for name in fns:
+            s = float(np.median(slopes[name]))
+            # fixed per-call overhead implied by the n-length call
+            ovh = float(np.median(calls[name])) - s * n
+            out[name] = {"ms_per_step": round(s, 2),
+                         "clips_per_sec": round(B / (s / 1e3), 1),
+                         "dispatch_overhead_ms": round(ovh, 1),
+                         "reps": len(slopes[name])}
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=2)
         print(json.dumps(out), flush=True)
-
-    # final interleaved rounds with the full set
-    for rep in range(args.reps):
-        for n, (g, warm) in fns.items():
-            t0 = time.time()
-            b = float(g(wavs, jnp.int32(200 + rep)))
-            dt = (time.time() - t0) / args.n_steps
-            assert b != warm
-            rows[n]["best_ms"] = min(rows[n]["best_ms"], dt * 1e3)
-    out = {n: {"ms_per_step": round(r["best_ms"], 2),
-               "clips_per_sec": round(B / (r["best_ms"] / 1e3), 1)}
-           for n, r in rows.items()}
-    with open(args.out, "w") as fh:
-        json.dump(out, fh, indent=2)
-    print(json.dumps(out), flush=True)
     return out
 
 

@@ -100,6 +100,8 @@ def _setup(model_type: str, batch_size: int, n_steps: int = 10,
     cost = one.lower(state, batch, jax.random.key(1)).compile().cost_analysis() or {}
     flops_per_step = float(cost.get("flops", -1.0))
 
+    from ssl_audio_tpu.config import config_fingerprint
+
     fns = {n: make_scanned(n) for n in (n_steps, 2 * n_steps)}
     meta = {
         "model": model_type, "batch": batch_size,
@@ -107,6 +109,8 @@ def _setup(model_type: str, batch_size: int, n_steps: int = 10,
         "fused_conv": fused_conv, "pool_reorder": pool_reorder,
         "fused_attention": fused_attention,
         "layout_barrier": layout_barrier,
+        # config identity stamp (VERDICT r4 #7)
+        "config_hash": config_fingerprint(cfg)[1],
     }
     return fns, (state, batch), flops_per_step, meta
 

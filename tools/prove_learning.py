@@ -186,9 +186,26 @@ def main(argv=None):
                                          get_train_dataset(cfg))
         eval_loaders = get_eval_loaders(cfg)
 
+    from ssl_audio_tpu.config import config_fingerprint
+
+    resolved, cfg_hash = config_fingerprint(cfg)
+    # stale-artifact guard (VERDICT r4 #7): if --out already holds a proof
+    # recorded under a DIFFERENT resolved config, say so loudly — that is
+    # exactly how the r4 DINO proof went stale unnoticed.
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("config_hash") not in (None, cfg_hash):
+                print(f"WARNING: overwriting {args.out} recorded under "
+                      f"config {prev['config_hash']} (current: {cfg_hash})")
+        except (json.JSONDecodeError, OSError):
+            pass
     record = {"config": {"dataset": cfg.dataset, "model_type": cfg.model_type,
                          "batch_size": cfg.batch_size, "epochs": cfg.epochs,
                          "eval": args.eval, "method": args.method},
+              "config_hash": cfg_hash,
+              "resolved_config": resolved,
               "epochs": []}
     t0 = time.time()
     s = probe_score(cfg, trainer.mods, trainer.state, eval_loaders, args.eval)
