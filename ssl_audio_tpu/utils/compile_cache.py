@@ -41,14 +41,11 @@ def enable(cache_dir: str | None = None) -> str:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # default min_compile_time (1 s) skips trivial programs; keep it.
-        # Explicitly allow caching on all backends (some jax versions
-        # default this to tpu/gpu only).
-        try:
-            jax.config.update(
-                "jax_persistent_cache_enable_xla_caches", "all"
-            )
-        except (AttributeError, ValueError):
-            pass
+        # NOTE: do NOT set jax_persistent_cache_enable_xla_caches="all" —
+        # on CPU it additionally persists XLA AOT kernel caches whose
+        # machine-feature stamps spam E-level warnings on every load (and
+        # carry a SIGILL footgun across hosts); the client-side executable
+        # cache alone is what gives the TPU warmup win.
         _state["dir"] = cache_dir
     return cache_dir
 

@@ -54,10 +54,36 @@ def install_timm_shim():
     def to_2tuple(v):
         return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
 
+    class PatchEmbed(nn.Module):
+        """timm PatchEmbed (conv proj, flatten to (B, N, D)) — the old-tree
+        mae.py imports it directly (old/models/mae.py:19,106)."""
+
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None, flatten=True):
+            super().__init__()
+            img_size = to_2tuple(img_size)
+            patch_size = to_2tuple(patch_size)
+            self.img_size = img_size
+            self.patch_size = patch_size
+            self.grid_size = (img_size[0] // patch_size[0],
+                              img_size[1] // patch_size[1])
+            self.num_patches = self.grid_size[0] * self.grid_size[1]
+            self.flatten = flatten
+            self.proj = nn.Conv2d(in_chans, embed_dim,
+                                  kernel_size=patch_size, stride=patch_size)
+            self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+        def forward(self, x):
+            x = self.proj(x)
+            if self.flatten:
+                x = x.flatten(2).transpose(1, 2)
+            return self.norm(x)
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     vit_mod = types.ModuleType("timm.models.vision_transformer")
     vit_mod.DropPath = DropPath
+    vit_mod.PatchEmbed = PatchEmbed
     vit_mod.Mlp = Mlp
     layers = types.ModuleType("timm.models.layers")
     helpers = types.ModuleType("timm.models.layers.helpers")
@@ -200,5 +226,54 @@ def import_reference_hear(modname: str):
         sys.path.remove("/root/reference")
         for k in list(sys.modules):
             if k == "hear" or k.startswith("hear."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+
+
+def install_audio_dep_stubs():
+    """Empty-module stubs for the heavyweight audio deps the reference's
+    old-tree data_manager imports at module scope (librosa, audiomentations)
+    — absent in this environment and unused by the objective/oracle code
+    paths the tests exercise."""
+    if "librosa" not in sys.modules:
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    if "torchaudio.functional" not in sys.modules:
+        taf = types.ModuleType("torchaudio.functional")
+        sys.modules["torchaudio.functional"] = taf
+        ta = sys.modules.get("torchaudio")
+        if ta is not None:
+            ta.functional = taf
+            # mark as package so `import torchaudio.functional` resolves
+            if not hasattr(ta, "__path__"):
+                ta.__path__ = []
+    if "audiomentations" not in sys.modules:
+        am = types.ModuleType("audiomentations")
+        for name in ("Compose", "TimeStretch", "PitchShift"):
+            setattr(am, name, type(name, (), {}))
+        sys.modules["audiomentations"] = am
+    if "wandb" not in sys.modules:
+        sys.modules["wandb"] = types.ModuleType("wandb")
+
+
+def import_reference_old(modname: str):
+    """Import a module from the reference's legacy tree (/root/reference/old)
+    — e.g. "methods.dino" or "utils.utils" — with its own root on sys.path
+    (its intra-package imports are absolute: `from utils import utils`,
+    `from models import mae`).  Any live modules that would collide with the
+    old tree's top-level package names are parked for the duration."""
+    install_timm_shim()
+    install_torchaudio_shim()
+    install_easydict_shim()
+    install_audio_dep_stubs()
+    roots = ("utils", "models", "methods", "data_manager", "byola")
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k.split(".")[0] in roots}
+    sys.path.insert(0, "/root/reference/old")
+    try:
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove("/root/reference/old")
+        for k in list(sys.modules):
+            if k.split(".")[0] in roots:
                 del sys.modules[k]
         sys.modules.update(saved)
