@@ -218,6 +218,140 @@ def main(argv=None):
     big, wbig = mk((8192, 8192), (8192, 8192))
     probe("ceiling 8192^3", bare, 2 * 8192 ** 3, (big, wbig))
 
+    # ---- r5 backward/in-graph bisection set (VERDICT r4 #2) ------------
+    # The r4 forward probes cleared every fwd-side suspect (129 TF/s with
+    # epilogues); these reproduce the conditions the training graph adds
+    # that the fwd probes did not: full fwd+bwd GEMM chains, the AMP
+    # master-f32 -> bf16 weight converts inside the jit
+    # (train/state.py:85-87), gelu-backward cotangent producers, whole
+    # transformer blocks, and 12-deep stacks.
+    G = 2 * M * 768 * 3072   # FLOPs of one fc1-size GEMM
+
+    # full MLP fwd+bwd wrt x AND weights: 6 fc1-size GEMMs
+    def mlpfull(key, a, w1, b1, w2):
+        aa = a + jax.random.uniform(key, (1,), a.dtype)
+
+        def f(x, w1, b1, w2):
+            h = jax.nn.gelu(jnp.dot(x, w1) + b1)
+            out = jnp.dot(h, w2).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(aa, w1, b1, w2)
+        return l + sum((x.astype(jnp.float32) ** 2).sum() for x in gs)
+
+    probe("mlp fwd+bwd (6 GEMMs)", mlpfull, 6 * G, (a, w1, b1, w2))
+
+    # same, but weights held in f32 and cast to bf16 INSIDE the graph —
+    # the training AMP pattern (f32 master params, bf16 compute); the
+    # backward then produces f32 grads through the converts
+    w1f = w1.astype(jnp.float32)
+    b1f = b1.astype(jnp.float32)
+    w2f = w2.astype(jnp.float32)
+
+    def mlpamp(key, a, w1f, b1f, w2f):
+        aa = a + jax.random.uniform(key, (1,), a.dtype)
+
+        def f(x, w1f, b1f, w2f):
+            w1c = w1f.astype(dt)
+            b1c = b1f.astype(dt)
+            w2c = w2f.astype(dt)
+            h = jax.nn.gelu(jnp.dot(x, w1c) + b1c)
+            out = jnp.dot(h, w2c).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+            aa, w1f, b1f, w2f)
+        return l + sum((x.astype(jnp.float32) ** 2).sum() for x in gs)
+
+    probe("mlp fwd+bwd amp-f32-master", mlpamp, 6 * G, (a, w1f, b1f, w2f))
+
+    # one full pre-LN transformer block fwd+bwd (LN -> qkv -> attn einsum
+    # -> proj -> residual -> LN -> MLP -> residual), grads wrt all params.
+    # GEMM FLOPs: qkv 3 + proj 1 (x768^2) fwd, x3 for bwd = 12 proj-size;
+    # MLP 2 fwd + 4 bwd = 6 fc1-size; attention scores/values are
+    # negligible at N=21 (2*M*21*64*12*2 ~ 0.3 GFLOP).
+    B4, H4, N4, Dh = M // 21, 12, 21, 64
+    wqkv, wo = mk((768, 2304), (768, 768))
+    ln1w, ln1b, ln2w, ln2b = mk((768,), (768,), (768,), (768,))
+    xin, = mk((M, 768))
+    block_flops = (12 * 2 * M * 768 * 768) + 6 * G
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return ((x - mu) * jax.lax.rsqrt(var + 1e-6) * w + b).astype(x.dtype)
+
+    def block(x, p):
+        h = ln(x, p["ln1w"], p["ln1b"])
+        qkv = jnp.dot(h, p["wqkv"]).reshape(B4, N4, 3, H4, Dh)
+        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+        at = jax.nn.softmax(
+            (q @ k.transpose(0, 1, 3, 2)).astype(jnp.float32) / 8.0, axis=-1
+        ).astype(x.dtype)
+        o = (at @ v).transpose(0, 2, 1, 3).reshape(M, 768)
+        x = x + jnp.dot(o, p["wo"])
+        h2 = ln(x, p["ln2w"], p["ln2b"])
+        x = x + jnp.dot(jax.nn.gelu(jnp.dot(h2, p["w1"]) + p["b1"]), p["w2"])
+        return x
+
+    pblock = {"ln1w": ln1w, "ln1b": ln1b, "ln2w": ln2w, "ln2b": ln2b,
+              "wqkv": wqkv, "wo": wo, "w1": w1, "b1": b1, "w2": w2}
+
+    def blockfb(key, xin, pblock):
+        xx = xin + jax.random.uniform(key, (1,), xin.dtype)
+
+        def f(p):
+            out = block(xx.reshape(M, 768), p).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f)(pblock)
+        return l + sum((x.astype(jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(gs))
+
+    # block_flops already counts fwd+bwd: 4 proj-size fwd GEMMs x3
+    # (fwd, dX, dW) = 12, MLP 2 fwd x3 = 6 fc1-size
+    probe("block fwd+bwd", blockfb, block_flops, (xin, pblock))
+
+    # 12-block stack fwd+bwd: depth/buffer-pressure effect (the real model)
+    p12 = [jax.tree.map(lambda v: jnp.asarray(
+        rng.standard_normal(v.shape) * 0.02, v.dtype), pblock)
+        for _ in range(12)]
+
+    def stackfb(key, xin, p12):
+        xx = xin + jax.random.uniform(key, (1,), xin.dtype)
+
+        def f(ps):
+            x = xx.reshape(M, 768)
+            for p in ps:
+                x = block(x, p)
+            out = x.astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f)(p12)
+        return l + sum((x.astype(jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(gs))
+
+    probe("stack12 fwd+bwd", stackfb, 12 * block_flops, (xin, p12))
+
+    # 12-block stack, AMP pattern: f32 master params cast inside
+    p12f = jax.tree.map(lambda v: v.astype(jnp.float32), p12)
+
+    def stackamp(key, xin, p12f):
+        xx = xin + jax.random.uniform(key, (1,), xin.dtype)
+
+        def f(ps):
+            x = xx.reshape(M, 768)
+            for p in ps:
+                x = block(x, jax.tree.map(lambda v: v.astype(dt), p))
+            out = x.astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f)(p12f)
+        return l + sum((x.astype(jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(gs))
+
+    probe("stack12 fwd+bwd amp", stackamp, 12 * block_flops, (xin, p12f))
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 
