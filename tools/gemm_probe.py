@@ -61,6 +61,13 @@ def main(argv=None):
     p.add_argument("--out", default="gemm_probe.json")
     p.add_argument("--only", default=None,
                    help="substring filter on probe names (skip the rest)")
+    p.add_argument("--interleave", action="store_true", default=False,
+                   help="compile every selected probe first, then time in "
+                        "interleaved rounds (min per probe) — the only "
+                        "trustworthy cross-probe comparison under tunnel "
+                        "drift (CLAUDE.md 2026-08-19; a same-shape anchor "
+                        "read 48 vs 172 TF/s in processes minutes apart)")
+    p.add_argument("--reps", type=int, default=3)
     args = p.parse_args(argv)
 
     import jax
@@ -72,8 +79,14 @@ def main(argv=None):
     M = args.M
     results = {}
 
+    deferred = []
+
     def probe(name, make_fn, flops, arrs):
-        if args.only is not None and args.only not in name:
+        if args.only is not None and not any(
+                s in name for s in args.only.split(",")):
+            return
+        if args.interleave:
+            deferred.append((name, make_fn, flops, arrs))
             return
         ms = slope(make_fn, arrs, args.n) * 1e3
         tf = flops / (ms * 1e-3) / 1e12
@@ -351,6 +364,129 @@ def main(argv=None):
                        for x in jax.tree.leaves(gs))
 
     probe("stack12 fwd+bwd amp", stackamp, 12 * block_flops, (xin, p12f))
+
+    # block with the attention einsums REPLACED by a plain (M,768)x(768,768)
+    # projection (same GEMM count, no (B,H,N,hd) relayouts / softmax):
+    # isolates the attention-formatting drag on neighbouring GEMMs
+    def block_noattn(x, p):
+        h = ln(x, p["ln1w"], p["ln1b"])
+        qkv = jnp.dot(h, p["wqkv"])            # (M, 2304), no reshape
+        o = qkv[:, :768] + qkv[:, 768:1536] * 0.5 + qkv[:, 1536:] * 0.25
+        x = x + jnp.dot(o, p["wo"])
+        h2 = ln(x, p["ln2w"], p["ln2b"])
+        x = x + jnp.dot(jax.nn.gelu(jnp.dot(h2, p["w1"]) + p["b1"]), p["w2"])
+        return x
+
+    def blocknafb(key, xin, pblock):
+        xx = xin + jax.random.uniform(key, (1,), xin.dtype)
+
+        def f(p):
+            out = block_noattn(xx.reshape(M, 768), p).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f)(pblock)
+        return l + sum((x.astype(jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(gs))
+
+    probe("block-noattn fwd+bwd", blocknafb, block_flops, (xin, pblock))
+
+    # block with optimization_barriers materializing the attention
+    # relayouts (the --layout_barrier placement, models/vit.py): does the
+    # barrier recover the −33% attention drag in the block testbed?
+    def block_barrier(x, p):
+        h = ln(x, p["ln1w"], p["ln1b"])
+        qkv = jnp.dot(h, p["wqkv"]).reshape(B4, N4, 3, H4, Dh)
+        q, k, v = [jax.lax.optimization_barrier(
+            qkv[:, :, i].transpose(0, 2, 1, 3)) for i in range(3)]
+        at = jax.nn.softmax(
+            (q @ k.transpose(0, 1, 3, 2)).astype(jnp.float32) / 8.0, axis=-1
+        ).astype(x.dtype)
+        o = (at @ v).transpose(0, 2, 1, 3).reshape(M, 768)
+        o = jax.lax.optimization_barrier(o)
+        x = x + jnp.dot(o, p["wo"])
+        h2 = ln(x, p["ln2w"], p["ln2b"])
+        x = x + jnp.dot(jax.nn.gelu(jnp.dot(h2, p["w1"]) + p["b1"]), p["w2"])
+        return x
+
+    def blockbarfb(key, xin, pblock):
+        xx = xin + jax.random.uniform(key, (1,), xin.dtype)
+
+        def f(p):
+            out = block_barrier(xx.reshape(M, 768), p).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f)(pblock)
+        return l + sum((x.astype(jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(gs))
+
+    probe("block-barrier fwd+bwd", blockbarfb, block_flops, (xin, pblock))
+
+    # block with attention kept but softmax in bf16 (no f32 round-trip):
+    # separates the relayout cost from the dtype-boundary cost
+    def block_sm16(x, p):
+        h = ln(x, p["ln1w"], p["ln1b"])
+        qkv = jnp.dot(h, p["wqkv"]).reshape(B4, N4, 3, H4, Dh)
+        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+        at = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) / jnp.asarray(
+            8.0, x.dtype), axis=-1)
+        o = (at @ v).transpose(0, 2, 1, 3).reshape(M, 768)
+        x = x + jnp.dot(o, p["wo"])
+        h2 = ln(x, p["ln2w"], p["ln2b"])
+        x = x + jnp.dot(jax.nn.gelu(jnp.dot(h2, p["w1"]) + p["b1"]), p["w2"])
+        return x
+
+    def blocksm16fb(key, xin, pblock):
+        xx = xin + jax.random.uniform(key, (1,), xin.dtype)
+
+        def f(p):
+            out = block_sm16(xx.reshape(M, 768), p).astype(jnp.float32)
+            return (out * out).sum()
+
+        l, gs = jax.value_and_grad(f)(pblock)
+        return l + sum((x.astype(jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(gs))
+
+    probe("block-sm16 fwd+bwd", blocksm16fb, block_flops, (xin, pblock))
+
+    if args.interleave and deferred:
+        import time as _time
+
+        from jax import lax
+
+        def make_scan(fn, k):
+            @jax.jit
+            def run(key, *a):
+                def body(c, i):
+                    return c + fn(jax.random.fold_in(key, i), *a), 0.0
+
+                total, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+                return total
+
+            return run
+
+        compiled = {}
+        for name, fn, flops, arrs in deferred:
+            f1, f2 = make_scan(fn, args.n), make_scan(fn, 2 * args.n)
+            t0 = _time.time()
+            float(f1(jax.random.key(0), *arrs))
+            float(f2(jax.random.key(0), *arrs))
+            print(f"compiled {name} in {_time.time() - t0:.0f}s", flush=True)
+            compiled[name] = (f1, f2, flops, arrs)
+        best = {name: [float("inf"), float("inf")] for name in compiled}
+        for rep in range(args.reps):
+            for name, (f1, f2, flops, arrs) in compiled.items():
+                t0 = _time.time()
+                float(f1(jax.random.key(rep + 1), *arrs))
+                t1 = _time.time()
+                float(f2(jax.random.key(rep + 1), *arrs))
+                t2 = _time.time()
+                best[name][0] = min(best[name][0], t1 - t0)
+                best[name][1] = min(best[name][1], t2 - t1)
+        for name, (f1, f2, flops, arrs) in compiled.items():
+            ms = (best[name][1] - best[name][0]) / args.n * 1e3
+            tf = flops / (ms * 1e-3) / 1e12
+            results[name] = {"ms": round(ms, 4), "tflops": round(tf, 1)}
+            print(f"{name:>28s}: {ms:8.4f} ms  {tf:7.1f} TF/s")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

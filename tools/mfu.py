@@ -210,6 +210,9 @@ def main(argv=None):
     # interleaved same-process A/B over layout_barrier on|off (the only
     # trustworthy comparison on drift-prone days — CLAUDE.md)
     p.add_argument("--ab_layout_barrier", action="store_true", default=False)
+    # generic same-process A/B over any boolean config field (e.g.
+    # --ab use_fp16 for the vit_tiny bf16-slower question, VERDICT r4 #3b)
+    p.add_argument("--ab", type=str, default=None)
     p.add_argument("--peak_tflops", type=float, default=None)
     p.add_argument("--out", type=str, default="mfu_results.json")
     args = p.parse_args(argv)
@@ -232,6 +235,11 @@ def main(argv=None):
             if args.ab_layout_barrier:
                 rs = measure_ab(model, b, "layout_barrier", [False, True],
                                 n_steps=args.n_steps, reps=args.reps, **kw)
+            elif args.ab:
+                kw_ab = {k: v for k, v in kw.items() if k != args.ab}
+                rs = measure_ab(model, b, args.ab, [False, True],
+                                n_steps=args.n_steps, reps=args.reps,
+                                layout_barrier=args.layout_barrier, **kw_ab)
             else:
                 rs = [measure(model, b, n_steps=args.n_steps, reps=args.reps,
                               layout_barrier=args.layout_barrier, **kw)]
