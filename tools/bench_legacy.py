@@ -29,8 +29,11 @@ def measure(method: str, batch_size: int, n: int = 20, reps: int = 3,
                                                   make_byola_train_step,
                                                   make_dino_train_step)
 
-    cfg = default_config(model_type="audiontt", batch_size=batch_size,
-                         use_fp16=use_fp16)
+    # method= routes the shipped old-gen recipe (AdamW cosine lr/wd for
+    # dino at out_dim 4096, constant Adam for byola) — the r4 rows were
+    # measured before 9c3eee9 shipped these (VERDICT r4 weak #2)
+    cfg = default_config(method=method, model_type="audiontt",
+                         batch_size=batch_size, use_fp16=use_fp16)
     mods, state = init_legacy_state(cfg, jax.random.key(0), method)
     if method == "dino":
         step = make_dino_train_step(mods)
@@ -70,11 +73,14 @@ def measure(method: str, batch_size: int, n: int = 20, reps: int = 3,
 
     t_n, t_2n = run(n), run(2 * n)
     per_step = (t_2n - t_n) / n
+    from ssl_audio_tpu.config import config_fingerprint
+
     return {
         "method": method, "batch": batch_size,
         "ms_per_step": round(per_step * 1e3, 2),
         "steps_per_sec": round(1.0 / per_step, 2),
         "samples_per_sec": round(batch_size / per_step, 1),
+        "config_hash": config_fingerprint(cfg)[1],
     }
 
 
@@ -84,6 +90,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--n", type=int, default=20)
     p.add_argument("--use_fp16", action="store_true", default=False)
+    p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
     rows = []
     for m in args.methods:
@@ -91,6 +98,9 @@ def main(argv=None):
         r["use_fp16"] = args.use_fp16
         rows.append(r)
         print(json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
     return rows
 
 
