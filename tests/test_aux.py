@@ -245,3 +245,46 @@ class TestSweep:
         ])
         assert "params" in best and np.isfinite(best["value"])
         assert (tmp_path / "sweep_results.json").exists()
+
+
+class TestCompileCache:
+    """utils/compile_cache.py (VERDICT r4 #5): persistent-cache wiring."""
+
+    def test_enable_disable_roundtrip(self, tmp_path):
+        import jax
+
+        from ssl_audio_tpu.utils import compile_cache
+
+        prev = compile_cache.enabled_dir()
+        d = str(tmp_path / "xla")
+        try:
+            assert compile_cache.enable(d) == d
+            assert compile_cache.enabled_dir() == d
+            assert jax.config.jax_compilation_cache_dir == d
+            # idempotent
+            assert compile_cache.enable(d) == d
+            compile_cache.disable()
+            assert compile_cache.enabled_dir() is None
+            assert jax.config.jax_compilation_cache_dir is None
+        finally:
+            if prev:
+                compile_cache.enable(prev)
+            else:
+                compile_cache.disable()
+
+    def test_cli_flags(self, tmp_path):
+        from ssl_audio_tpu.config import config_from_args
+        from ssl_audio_tpu.utils import compile_cache
+
+        prev = compile_cache.enabled_dir()
+        d = str(tmp_path / "cc")
+        try:
+            config_from_args(["--compile_cache_dir", d, "--no_eval"])
+            assert compile_cache.enabled_dir() == d
+            config_from_args(["--no_compile_cache", "--no_eval"])
+            assert compile_cache.enabled_dir() is None
+        finally:
+            if prev:
+                compile_cache.enable(prev)
+            else:
+                compile_cache.disable()
