@@ -59,7 +59,11 @@ def main(argv=None):
 
     mods, state = init_train_state(cfg, jax.random.key(cfg.seed))
     if args.model_file_path:
-        state, _ = ckpt_lib.load_checkpoint(args.model_file_path, jax.device_get(state))
+        # encoder-graft load: also accepts legacy DINO/BYOL-A checkpoints
+        # whose head/optimizer trees differ (reference old/evaluate loads
+        # only the backbone)
+        state = ckpt_lib.load_encoder_checkpoint(
+            args.model_file_path, jax.device_get(state))
 
     trained, score = train_classifier(
         mods,

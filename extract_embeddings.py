@@ -53,7 +53,9 @@ def main(argv=None):
                         num_workers=cfg.num_workers)
     mods, state = init_train_state(cfg, jax.random.key(cfg.seed))
     if args.model_file_path:
-        state, _ = ckpt_lib.load_checkpoint(args.model_file_path, jax.device_get(state))
+        # encoder-graft load: also accepts legacy DINO/BYOL-A checkpoints
+        state = ckpt_lib.load_encoder_checkpoint(
+            args.model_file_path, jax.device_get(state))
     forward = make_embedding_forward(
         cfg, mods, jax.device_get(state.params), jax.device_get(state.batch_stats)
     )

@@ -26,7 +26,10 @@ def load_model(cfg, model_file_path: str):
     (or fresh init when model_file_path is empty, as the reference)."""
     mods, state = init_train_state(cfg, jax.random.key(cfg.seed))
     if model_file_path:
-        state, _ = ckpt_lib.load_checkpoint(model_file_path, jax.device_get(state))
+        # encoder-graft load: also accepts legacy DINO/BYOL-A checkpoints
+        # (reference old/evaluate loads only the backbone)
+        state = ckpt_lib.load_encoder_checkpoint(
+            model_file_path, jax.device_get(state))
     return mods, state.params, state.batch_stats
 
 

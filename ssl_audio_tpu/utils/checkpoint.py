@@ -113,3 +113,40 @@ def load_params_only(path: str, params_template):
 
 def host_device_get(tree):
     return jax.tree.map(lambda x: jax.device_get(x), tree)
+
+
+def load_encoder_checkpoint(path: str, state_template) -> Any:
+    """Graft a checkpoint's ENCODER params/batch_stats into state_template,
+    tolerating head/optimizer tree mismatches.
+
+    The eval CLIs (linear.py, evaluate.py, extract_embeddings.py) only use
+    the encoder, but a full-template restore fails on checkpoints written by
+    the legacy DINO/BYOL-A trainers (DINOHead / projector+predictor trees,
+    target_* state) — the reference's own eval loads just the backbone
+    weights from any checkpoint (old/evaluate/linear.py's
+    load_pretrained_weights).  Tries the exact full-state restore first (so
+    a matching checkpoint also restores the head for e.g. probes that want
+    it), then falls back to a template-free raw read + encoder graft."""
+    try:
+        state, _ = load_checkpoint(path, state_template)
+        return state
+    except Exception:
+        pass
+    ckptr = ocp.PyTreeCheckpointer()
+    raw = ckptr.restore(_ckpt_dir(path))
+    src = raw.get("state", raw)
+    enc_params = src["params"]["encoder"]
+    enc_bs = (src.get("batch_stats") or {}).get("encoder", {})
+    t_struct = jax.tree.structure(state_template.params["encoder"])
+    s_struct = jax.tree.structure(
+        jax.tree.map(lambda x: 0, enc_params))
+    if t_struct != s_struct:
+        raise ValueError(
+            f"checkpoint encoder tree does not match the configured "
+            f"model ({path}): {s_struct} vs {t_struct}")
+    new_params = dict(state_template.params)
+    new_params["encoder"] = jax.tree.map(jnp.asarray, enc_params)
+    new_bs = dict(state_template.batch_stats or {})
+    if enc_bs:
+        new_bs["encoder"] = jax.tree.map(jnp.asarray, enc_bs)
+    return state_template.replace(params=new_params, batch_stats=new_bs)

@@ -206,3 +206,66 @@ class TestEvalPrecisionAndPool:
         batch = jnp.asarray(np.random.default_rng(0).standard_normal((8, 1, 64, 96)).astype(np.float32))
         state, m = step(state, batch, jax.random.key(1), 0.0)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestEncoderGraftLoad:
+    def test_dino_checkpoint_loads_into_eval_state(self, tmp_path):
+        """load_encoder_checkpoint grafts a legacy DINO checkpoint's encoder
+        into the BT-shaped eval state (the reference's old/evaluate loads
+        only the backbone) — a full-template restore fails on the DINOHead
+        and target_* trees.  Found by the r5 CLI drive sweep."""
+        import jax
+        import numpy as np
+
+        from ssl_audio_tpu.config import default_config
+        from ssl_audio_tpu.train.legacy_steps import init_legacy_state
+        from ssl_audio_tpu.train.state import init_train_state
+        from ssl_audio_tpu.utils import checkpoint as ckpt_lib
+
+        cfg = default_config(
+            method="dino", dataset="synthetic", model_type="audiontt",
+            batch_size=4, projector_hidden_dim=32, projector_out_dim=8,
+            mixup_n_memory=8, dino_out_dim=16, epochs=1, num_workers=0,
+            no_eval=True)
+        _, legacy_state = init_legacy_state(cfg, jax.random.key(0), "dino")
+        path = str(tmp_path / "model_1")
+        ckpt_lib.save_checkpoint(path, jax.device_get(legacy_state), 1)
+
+        cfg_eval = cfg.replace(optimizer=None, lr=None, wd=None)
+        from ssl_audio_tpu.config import setup_model_defaults
+
+        cfg_eval = setup_model_defaults(cfg_eval)
+        _, eval_state = init_train_state(cfg_eval, jax.random.key(1))
+        grafted = ckpt_lib.load_encoder_checkpoint(
+            path, jax.device_get(eval_state))
+        want = jax.tree.leaves(legacy_state.params["encoder"])
+        got = jax.tree.leaves(grafted.params["encoder"])
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the BT head stays the eval init (not overwritten by DINOHead)
+        assert set(grafted.params) == set(eval_state.params)
+
+    def test_mismatched_encoder_raises(self, tmp_path):
+        import jax
+        import pytest as _pytest
+
+        from ssl_audio_tpu.config import default_config
+        from ssl_audio_tpu.train.state import init_train_state
+        from ssl_audio_tpu.utils import checkpoint as ckpt_lib
+
+        cfg_a = default_config(
+            dataset="synthetic", model_type="audiontt", batch_size=4,
+            projector_hidden_dim=32, projector_out_dim=8, mixup_n_memory=8,
+            epochs=1, num_workers=0, no_eval=True)
+        _, st_a = init_train_state(cfg_a, jax.random.key(0))
+        path = str(tmp_path / "model_1")
+        ckpt_lib.save_checkpoint(path, jax.device_get(st_a), 1)
+
+        cfg_b = cfg_a.replace(model_type="vit_tiny", optimizer=None,
+                              lr=None, wd=None)
+        from ssl_audio_tpu.config import setup_model_defaults
+
+        cfg_b = setup_model_defaults(cfg_b)
+        _, st_b = init_train_state(cfg_b, jax.random.key(1))
+        with _pytest.raises(ValueError, match="does not match"):
+            ckpt_lib.load_encoder_checkpoint(path, jax.device_get(st_b))
