@@ -2,6 +2,9 @@
 collective paths are exercised without TPU hardware (SURVEY.md §4)."""
 import os
 
+# keep the suite hermetic: no persistent compilation cache (CPU AOT
+# reloads also spam machine-feature E-warnings into every captured stderr)
+os.environ.setdefault("SSL_AUDIO_TPU_COMPILE_CACHE", "0")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
