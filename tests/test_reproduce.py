@@ -105,3 +105,28 @@ def test_full_chain_composes(tmp_path):
             assert 0.0 <= model_scores[group][task] <= 1.0
         assert model_scores[group]["AVERAGE"] == pytest.approx(
             np.mean([model_scores[group][t] for t in tasks]))
+
+
+def test_dino_method_chain(tmp_path):
+    """--method dino routes the pretrain stage through main_pretrain.py and
+    the downstream probe/HEAR stages consume the legacy checkpoint via the
+    encoder-graft loader (r5)."""
+    from tools import reproduce
+
+    root = fabricate_tree(str(tmp_path), seed=3)
+    cwd = os.getcwd()
+    try:
+        results = reproduce.main([
+            "--root", root, "--work_dir", os.path.join(root, "out"),
+            "--model_type", "audiontt", "--method", "dino",
+            "--epochs", "1", "--batch_size", "8",
+            "--name", "dsmoke", "--no_eval",
+            "--probe_hidden", "", "--probe_iters", "20",
+            "--stages", "convert,pretrain,probe",
+            "--extra_pretrain_args",
+            "--dino_out_dim", "16", "--teacher_temp", "0.04",
+            "--mixup_n_memory", "8", "--num_workers", "0",
+        ])
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(results["linear"]["score_all"])

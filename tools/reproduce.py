@@ -63,8 +63,31 @@ def stage_convert(args) -> None:
 
 
 def stage_pretrain(args) -> str:
-    """Barlow-Twins pretrain via the main.py entry; returns the final
-    checkpoint path (reference main.py:350-520)."""
+    """Pretrain via the family's own entry point and return the final
+    checkpoint path: barlow -> main.py (reference main.py:350-520);
+    dino / byola -> main_pretrain.py (reference old/main_pretrain.py
+    dispatch).  The downstream probe/HEAR stages consume any family's
+    checkpoint via the encoder-graft loader
+    (utils/checkpoint.load_encoder_checkpoint)."""
+    if args.method != "barlow":
+        import main_pretrain as mp_mod
+
+        argv = [
+            "--method", args.method, "--dataset", "fsd50k",
+            "--model_type", args.model_type,
+            "--epochs", str(args.epochs), "--batch_size", str(args.batch_size),
+            "--no_eval",
+        ]
+        argv += args.extra_pretrain_args
+        print(f"[pretrain] main_pretrain.py {' '.join(argv)}")
+        mp_mod.main(argv)
+        ckpt = os.path.join("results", "fsd50k",
+                            f"{args.method}_{args.model_type}",
+                            f"model_{args.epochs}")
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"pretrain produced no checkpoint {ckpt}")
+        print(f"[pretrain] checkpoint: {ckpt}")
+        return ckpt
     import main as main_mod
 
     argv = [
@@ -201,6 +224,10 @@ def main(argv=None):
     p.add_argument("--work_dir", default="reproduce_out")
     p.add_argument("--stages", default=",".join(ALL_STAGES))
     p.add_argument("--model_type", default="audiontt")
+    p.add_argument("--method", default="barlow",
+                   choices=["barlow", "dino", "byola"],
+                   help="SSL family for the pretrain stage (dino/byola "
+                        "route through main_pretrain.py)")
     p.add_argument("--patch_size", default="16x16")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=256)
